@@ -1,0 +1,150 @@
+"""Per-task loss functions as pure jnp functions (NHWC layout).
+
+Numerics mirror the reference losses (reference: losses/loss_functions.py):
+  * softmax_ce_loss    <- SoftMaxwithLoss      (:16-33)  ignore label 255
+  * balanced_bce_loss  <- BalancedCrossEntropyLoss (:36-84) HED-style weighting
+  * bce_loss           <- BinaryCrossEntropyLoss  (:87-123)
+  * depth_l1_loss      <- DepthLoss             (:126-140) masked L1
+  * normals_l1_loss    <- NormalsLoss           (:154-197) normalize + masked L1
+
+All functions take predictions as [B, H, W, C] float arrays and labels as
+[B, H, W, C] (or [B, H, W, 1] for scalar tasks) and return a scalar loss.
+The ignore label is 255 everywhere (SURVEY invariant #5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+IGNORE = 255.0
+
+
+def softmax_ce_loss(logits: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
+    """Cross entropy with ignore_index=255, mean over valid pixels.
+
+    logits: [B, H, W, C]; label: [B, H, W, 1] (float or int labels).
+    Matches nn.NLLLoss(ignore_index=255)(LogSoftmax(out), label): the mean is
+    taken over non-ignored elements only.
+    """
+    lab = label[..., 0].astype(jnp.int32)  # [B, H, W]
+    valid = lab != 255
+    safe_lab = jnp.where(valid, lab, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_lab[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    n_valid = jnp.maximum(valid.sum(), 1)
+    return nll.sum() / n_valid
+
+
+def _stable_bce_terms(output: jnp.ndarray, labels: jnp.ndarray):
+    """Numerically-stable elementwise BCE-with-logits value, reference form.
+
+    loss_val = output*(labels - [output>=0]) - log(1 + exp(output - 2*output*[output>=0]))
+    which equals -BCEWithLogits elementwise.
+    """
+    output = output.astype(jnp.float32)
+    out_gt_zero = (output >= 0).astype(jnp.float32)
+    loss_val = output * (labels - out_gt_zero) - jnp.log1p(
+        jnp.exp(output - 2.0 * output * out_gt_zero)
+    )
+    loss_pos_pix = -labels * loss_val
+    loss_neg_pix = -(1.0 - labels) * loss_val
+    return loss_pos_pix, loss_neg_pix
+
+
+def balanced_bce_loss(
+    output: jnp.ndarray,
+    label: jnp.ndarray,
+    pos_weight: Optional[float] = None,
+    size_average: bool = True,
+) -> jnp.ndarray:
+    """HED-style class-balanced BCE (edge: pos_weight from config; sal: dynamic)."""
+    labels = (label.astype(jnp.float32) >= 0.5).astype(jnp.float32)
+    if pos_weight is None:
+        num_pos = labels.sum()
+        num_total = jnp.asarray(labels.size, jnp.float32)
+        w = (num_total - num_pos) / num_total
+    else:
+        w = jnp.asarray(pos_weight, jnp.float32)
+
+    loss_pos_pix, loss_neg_pix = _stable_bce_terms(output, labels)
+    final = w * loss_pos_pix.sum() + (1.0 - w) * loss_neg_pix.sum()
+    if size_average:
+        final = final / float(labels.size)
+    else:
+        final = final / float(labels.shape[0])
+    return final
+
+
+def bce_loss(
+    output: jnp.ndarray, label: jnp.ndarray, size_average: bool = True
+) -> jnp.ndarray:
+    """Unbalanced BCE with logits (reference BinaryCrossEntropyLoss)."""
+    labels = (label.astype(jnp.float32) >= 0.5).astype(jnp.float32)
+    loss_pos_pix, loss_neg_pix = _stable_bce_terms(output, labels)
+    final = loss_pos_pix.sum() + loss_neg_pix.sum()
+    if size_average:
+        final = final / float(labels.size)
+    else:
+        final = final / float(labels.shape[0])
+    return final
+
+
+def depth_l1_loss(output: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
+    """Masked L1: mean |out - label| over pixels where label != 255."""
+    label = label.astype(jnp.float32)
+    mask = label != IGNORE
+    diff = jnp.where(mask, jnp.abs(output.astype(jnp.float32) - label), 0.0)
+    n_valid = jnp.maximum(mask.sum(), 1)
+    return diff.sum() / n_valid
+
+
+def normals_l1_loss(output: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
+    """L2-normalize prediction over channel, then masked L1 averaged by n_valid.
+
+    Mask is elementwise (label != 255) as in the reference's masked_select;
+    divisor is max(n_valid, 1e-6) (reference: loss_functions.py:178-192).
+    """
+    label = label.astype(jnp.float32)
+    out = output.astype(jnp.float32)
+    qn = jnp.linalg.norm(out, ord=2, axis=-1, keepdims=True) + 1e-12
+    out_norm = out / qn
+    mask = label != IGNORE
+    diff = jnp.where(mask, jnp.abs(out_norm - label), 0.0)
+    n_valid = mask.sum().astype(jnp.float32)
+    return diff.sum() / jnp.maximum(n_valid, 1e-6)
+
+
+def get_loss_fn(loss_kind: str, p=None) -> Callable:
+    """Factory matching reference utils/common_config.py:780-807."""
+    if loss_kind == "softmax_ce":
+        return softmax_ce_loss
+    if loss_kind == "balanced_bce":
+        return balanced_bce_loss
+    if loss_kind == "bce":
+        return bce_loss
+    if loss_kind == "depth_l1":
+        return depth_l1_loss
+    if loss_kind == "normals_l1":
+        return normals_l1_loss
+    raise NotImplementedError(loss_kind)
+
+
+def loss_fn_for_task(task_name: str, p) -> Callable:
+    """Task-name based factory (reference get_loss): edge gets the config's
+    pos_weight, sal uses dynamic HED weighting."""
+    if task_name == "edge":
+        return functools.partial(balanced_bce_loss, pos_weight=float(p["edge_w"]))
+    if task_name in ("semseg", "human_parts"):
+        return softmax_ce_loss
+    if task_name == "normals":
+        return normals_l1_loss
+    if task_name == "sal":
+        return balanced_bce_loss
+    if task_name == "depth":
+        return depth_l1_loss
+    raise NotImplementedError(task_name)

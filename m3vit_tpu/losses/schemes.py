@@ -1,0 +1,73 @@
+"""Loss schemes: weighted multi-task sums (reference: losses/loss_schemes.py).
+
+These are pure functions over dicts of predictions/targets; the per-task loss
+fns come from losses.functions.loss_fn_for_task.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional
+
+import jax.numpy as jnp
+
+from m3vit_tpu.losses.functions import loss_fn_for_task
+
+
+def build_loss_fns(p) -> Dict[str, Callable]:
+    return {t.name: loss_fn_for_task(t.name, p) for t in p["TASKS"]}
+
+
+def single_task_loss(
+    pred: Dict[str, jnp.ndarray],
+    gt: Dict[str, jnp.ndarray],
+    task: str,
+    loss_fns: Dict[str, Callable],
+) -> Dict[str, jnp.ndarray]:
+    """reference: loss_schemes.py:10-20"""
+    out = {task: loss_fns[task](pred[task], gt[task])}
+    out["total"] = out[task]
+    return out
+
+
+def multi_task_loss(
+    pred: Dict[str, jnp.ndarray],
+    gt: Dict[str, jnp.ndarray],
+    tasks: List[str],
+    loss_fns: Dict[str, Callable],
+    loss_weights: Dict[str, float],
+    single_task: Optional[str] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Weighted sum over tasks; human_parts NaN guarded; optional per-task mode.
+
+    reference: loss_schemes.py:43-115. The TAM branches add extra weighted
+    terms for 'tam_level{0,1,2}_{task}' predictions when present.
+    """
+    if single_task is not None:
+        out = {single_task: loss_fns[single_task](pred[single_task], gt[single_task])}
+        out["total"] = loss_weights[single_task] * out[single_task]
+        return out
+
+    out: Dict[str, jnp.ndarray] = {}
+    total = jnp.asarray(0.0, jnp.float32)
+
+    # TAM deep-supervision branches (reference: loss_schemes.py:63-93)
+    for level in (0, 1, 2):
+        key0 = f"tam_level{level}_{tasks[0]}"
+        if key0 in pred:
+            for task in tasks:
+                l = loss_fns[task](pred[f"tam_level{level}_{task}"], gt[task])
+                l = jnp.nan_to_num(l, nan=0.0)
+                out[f"tam_level{level}_{task}"] = l
+                total = total + loss_weights[task] * l
+
+    for task in tasks:
+        l = loss_fns[task](pred[task], gt[task])
+        if task == "human_parts":
+            # images without any person produce an all-ignored human_parts
+            # target; reference nan_to_nums that loss (loss_schemes.py:108-110)
+            l = jnp.nan_to_num(l, nan=0.0)
+        out[task] = l
+        total = total + loss_weights[task] * l
+
+    out["total"] = total
+    return out

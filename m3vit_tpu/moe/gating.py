@@ -1,0 +1,163 @@
+"""Noisy-VMoE top-k gating and load-balancing math, as pure jnp functions.
+
+Semantics match the reference exactly (SURVEY invariants #2-#4):
+  * gating = softmax over noisy logits FIRST, then top-(k+1); routing uses the
+    top-k; gate scores are the raw top-k softmax probs, NOT renormalized
+    (reference: models/moe/ckpt/noisy_gate_vmoe.py:196-204)
+  * noise stddev = noise_std / num_experts, applied only in training
+    (reference: noisy_gate_vmoe.py:89-93)
+  * the smooth load estimator prob_in_top_k receives RAW clean/noisy logits
+    but POST-SOFTMAX top values — faithfully reproducing the reference's
+    mixed-space computation (reference: ckpt/vision_transformer_moe.py:33-71
+    called at :457 with `top_logits` = softmax-probability top-(k+1))
+  * cv_squared uses the unbiased variance (torch `.var()` default)
+    (reference: ckpt/vision_transformer_moe.py:73-87)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class GateOutput(NamedTuple):
+    """Everything the MoE block needs from one gate evaluation."""
+
+    top_k_indices: jnp.ndarray  # [T, K] int32 — global expert ids
+    top_k_gates: jnp.ndarray  # [T, K] float — raw softmax probs (not renorm.)
+    clean_logits: jnp.ndarray  # [T, E] pre-noise logits
+    noisy_logits: jnp.ndarray  # [T, E] post-noise logits
+    noise_stddev: jnp.ndarray  # scalar
+    top_logits: jnp.ndarray  # [T, min(K+1, E)] softmax probs of top-(k+1)
+    gates: jnp.ndarray  # [T, E] sparse softmax probs (zeros off the top-k)
+
+
+def gate_init(key: jax.Array, d_gate: int, num_experts: int) -> jnp.ndarray:
+    """w_gate init: kaiming_uniform(a=sqrt(5)) on a [d_gate, E] tensor.
+
+    torch computes fan_in = tensor.size(1) = E for a 2-D weight, giving
+    bound = 1/sqrt(E) (reference: noisy_gate_vmoe.py:65-72).
+    """
+    bound = 1.0 / jnp.sqrt(jnp.asarray(num_experts, jnp.float32))
+    return jax.random.uniform(
+        key, (d_gate, num_experts), jnp.float32, minval=-bound, maxval=bound
+    )
+
+
+def noisy_vmoe_gate(
+    gate_inp: jnp.ndarray,
+    w_gate: jnp.ndarray,
+    *,
+    top_k: int,
+    noise_std: float,
+    train: bool,
+    rng: Optional[jax.Array] = None,
+    no_noise: bool = False,
+) -> GateOutput:
+    """NoisyGate_VMoE forward (reference: noisy_gate_vmoe.py:80-264).
+
+    gate_inp: [T, d_gate]; w_gate: [d_gate, E]. `train` must be static.
+    """
+    num_experts = w_gate.shape[-1]
+    clean_logits = gate_inp.astype(jnp.float32) @ w_gate.astype(jnp.float32)
+    raw_noise_stddev = noise_std / num_experts
+    use_noise = train and not no_noise
+    noise_stddev = jnp.asarray(raw_noise_stddev if use_noise else 0.0, jnp.float32)
+
+    if use_noise:
+        if rng is None:
+            raise ValueError("training noisy gate requires an rng")
+        noise = jax.random.normal(rng, clean_logits.shape, jnp.float32)
+        noisy_logits = clean_logits + noise * noise_stddev
+    else:
+        noisy_logits = clean_logits
+
+    probs = jax.nn.softmax(noisy_logits, axis=-1)
+    m = min(top_k + 1, num_experts)
+    top_logits, top_indices = jax.lax.top_k(probs, m)
+    top_k_gates = top_logits[:, :top_k]
+    top_k_indices = top_indices[:, :top_k].astype(jnp.int32)
+
+    # dense [T, E] gates with the top-k probs scattered back in
+    gates = jnp.zeros_like(probs)
+    t_idx = jnp.arange(probs.shape[0])[:, None]
+    gates = gates.at[t_idx, top_k_indices].set(top_k_gates)
+
+    return GateOutput(
+        top_k_indices=top_k_indices,
+        top_k_gates=top_k_gates,
+        clean_logits=clean_logits,
+        noisy_logits=noisy_logits,
+        noise_stddev=noise_stddev,
+        top_logits=top_logits,
+        gates=gates,
+    )
+
+
+def _normal_cdf(x: jnp.ndarray) -> jnp.ndarray:
+    return 0.5 * (1.0 + jax.lax.erf(x / jnp.sqrt(jnp.asarray(2.0, x.dtype))))
+
+
+def prob_in_top_k(
+    clean_values: jnp.ndarray,
+    noisy_values: jnp.ndarray,
+    noise_stddev: jnp.ndarray,
+    noisy_top_values: jnp.ndarray,
+    top_k: int,
+) -> jnp.ndarray:
+    """Smooth estimator of P[value in top-k] under re-drawn noise.
+
+    clean_values/noisy_values: [T, E]; noisy_top_values: [T, m] with m = k+1.
+    Exactly reproduces reference ckpt/vision_transformer_moe.py:33-71
+    (including its mixing of logit-space values with probability-space
+    thresholds — required for numerical parity).
+    """
+    threshold_if_in = noisy_top_values[:, top_k][:, None]  # [T, 1]
+    is_in = noisy_values > threshold_if_in
+    threshold_if_out = noisy_top_values[:, top_k - 1][:, None]
+    prob_if_in = _normal_cdf((clean_values - threshold_if_in) / noise_stddev)
+    prob_if_out = _normal_cdf((clean_values - threshold_if_out) / noise_stddev)
+    return jnp.where(is_in, prob_if_in, prob_if_out)
+
+
+def gates_to_load(gates: jnp.ndarray) -> jnp.ndarray:
+    """True per-expert load: #tokens with gate > 0 (reference :23-31)."""
+    return (gates > 0).sum(axis=0).astype(jnp.float32)
+
+
+def cv_squared(x: jnp.ndarray) -> jnp.ndarray:
+    """Squared coefficient of variation, unbiased variance (reference :73-87)."""
+    x = x.astype(jnp.float32).reshape(-1)
+    if x.shape[0] <= 1:
+        return jnp.asarray(0.0, jnp.float32)
+    eps = 1e-10
+    return jnp.var(x, ddof=1) / (jnp.mean(x) ** 2 + eps)
+
+
+def moe_aux_loss(
+    gate: GateOutput, top_k: int, num_experts: int, train: bool
+) -> jnp.ndarray:
+    """cv²(importance) + cv²(load) for one MoE block.
+
+    Load uses the smooth estimator when noise is active, else the hard count
+    (reference: ckpt/vision_transformer_moe.py:452-459, 538-542).
+    """
+    if not train:
+        return jnp.asarray(0.0, jnp.float32)
+    importance = gate.gates.sum(axis=0)
+    use_smooth = top_k < num_experts
+    if use_smooth:
+        smooth = prob_in_top_k(
+            gate.clean_logits,
+            gate.noisy_logits,
+            jnp.maximum(gate.noise_stddev, 1e-20),
+            gate.top_logits,
+            top_k,
+        ).sum(axis=0)
+        hard = gates_to_load(gate.gates)
+        load = jnp.where(jnp.abs(gate.noise_stddev) > 1e-6, smooth, hard)
+    else:
+        load = gates_to_load(gate.gates)
+    return cv_squared(importance) + cv_squared(load)

@@ -1,0 +1,125 @@
+"""Gating math unit tests: noisy-VMoE semantics vs an independent torch oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from m3vit_tpu.moe.gating import (
+    cv_squared,
+    gates_to_load,
+    moe_aux_loss,
+    noisy_vmoe_gate,
+    prob_in_top_k,
+)
+
+
+def _torch_gate_eval(x, w, top_k):
+    """Independent torch implementation of the eval-mode (no-noise) gate:
+    softmax over logits, then top-(k+1); scores = raw top-k probs."""
+    logits = torch.from_numpy(x) @ torch.from_numpy(w)
+    probs = torch.softmax(logits, dim=1)
+    m = min(top_k + 1, w.shape[1])
+    top_logits, top_indices = probs.topk(m, dim=1)
+    gates = torch.zeros_like(probs).scatter(
+        1, top_indices[:, :top_k], top_logits[:, :top_k]
+    )
+    return (
+        top_indices[:, :top_k].numpy(),
+        top_logits[:, :top_k].numpy(),
+        top_logits.numpy(),
+        gates.numpy(),
+    )
+
+
+def test_gate_eval_matches_torch_oracle():
+    rng = np.random.RandomState(0)
+    T, d, E, K = 64, 32, 16, 4
+    x = rng.randn(T, d).astype(np.float32)
+    w = rng.randn(d, E).astype(np.float32) * 0.1
+
+    out = noisy_vmoe_gate(
+        jnp.asarray(x), jnp.asarray(w), top_k=K, noise_std=1.0, train=False
+    )
+    ref_idx, ref_gates, ref_top, ref_dense = _torch_gate_eval(x, w, K)
+
+    np.testing.assert_array_equal(np.asarray(out.top_k_indices), ref_idx)
+    np.testing.assert_allclose(np.asarray(out.top_k_gates), ref_gates, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.top_logits), ref_top, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.gates), ref_dense, atol=1e-6)
+    # scores are raw softmax probs: each row sums to < 1 (not renormalized)
+    assert float(np.asarray(out.top_k_gates).sum(1).max()) < 1.0
+    assert float(np.asarray(out.noise_stddev)) == 0.0
+
+
+def test_gate_train_noise_scale():
+    T, d, E, K = 512, 16, 8, 2
+    x = jnp.ones((T, d))
+    w = jnp.zeros((d, E))
+    out = noisy_vmoe_gate(
+        x, w, top_k=K, noise_std=1.0, train=True, rng=jax.random.key(0)
+    )
+    # clean logits all zero -> noisy logits are pure noise with std 1/E
+    assert float(out.noise_stddev) == pytest.approx(1.0 / E)
+    measured = float(jnp.std(out.noisy_logits))
+    assert measured == pytest.approx(1.0 / E, rel=0.1)
+    # no_noise kills it
+    out2 = noisy_vmoe_gate(
+        x, w, top_k=K, noise_std=1.0, train=True, rng=jax.random.key(0), no_noise=True
+    )
+    assert float(jnp.std(out2.noisy_logits)) == 0.0
+
+
+def test_cv_squared_matches_torch():
+    x = np.array([1.0, 2.0, 3.0, 10.0], np.float32)
+    tx = torch.from_numpy(x)
+    expected = float(tx.var() / (tx.mean() ** 2 + 1e-10))
+    got = float(cv_squared(jnp.asarray(x)))
+    assert got == pytest.approx(expected, rel=1e-6)
+    assert float(cv_squared(jnp.asarray([5.0]))) == 0.0
+
+
+def test_prob_in_top_k_matches_torch_oracle():
+    """Check against a literal torch transcription of the published
+    noisy-top-k load estimator (Shazeer et al. 2017)."""
+    rng = np.random.RandomState(1)
+    T, E, K = 32, 16, 4
+    clean = rng.randn(T, E).astype(np.float32)
+    noisy = clean + rng.randn(T, E).astype(np.float32) * 0.1
+    top_vals = np.sort(noisy, axis=1)[:, ::-1][:, : K + 1].copy()
+    std = 0.0625
+
+    got = np.asarray(
+        prob_in_top_k(
+            jnp.asarray(clean), jnp.asarray(noisy), jnp.asarray(std),
+            jnp.asarray(top_vals), K,
+        )
+    )
+
+    c, n, tv = map(torch.from_numpy, (clean, noisy, top_vals))
+    thr_in = tv[:, K].unsqueeze(1)
+    thr_out = tv[:, K - 1].unsqueeze(1)
+    normal = torch.distributions.Normal(0.0, 1.0)
+    p_in = normal.cdf((c - thr_in) / std)
+    p_out = normal.cdf((c - thr_out) / std)
+    expected = torch.where(n > thr_in, p_in, p_out).numpy()
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_moe_aux_loss_eval_is_zero_train_positive():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(128, 16).astype(np.float32))
+    w = jnp.asarray(rng.randn(16, 8).astype(np.float32))
+    g_eval = noisy_vmoe_gate(x, w, top_k=2, noise_std=1.0, train=False)
+    assert float(moe_aux_loss(g_eval, 2, 8, train=False)) == 0.0
+    g_tr = noisy_vmoe_gate(
+        x, w, top_k=2, noise_std=1.0, train=True, rng=jax.random.key(3)
+    )
+    val = float(moe_aux_loss(g_tr, 2, 8, train=True))
+    assert np.isfinite(val) and val > 0.0
+
+
+def test_gates_to_load():
+    g = jnp.asarray([[0.5, 0.0, 0.2], [0.0, 0.0, 0.9]])
+    np.testing.assert_array_equal(np.asarray(gates_to_load(g)), [1.0, 0.0, 2.0])
