@@ -1,0 +1,104 @@
+"""Benchmark: flagship training-step throughput on the available chip(s).
+
+Measures images/sec/chip for the reference's headline config — ViT-small-MoE
+(E=16, K=4), multi-gate, 5-task PASCAL-Context, 512x512 — one full training
+step (all 5 per-task router passes + 5 PUP heads + backward + SGD update).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+vs_baseline: ratio vs the north-star target of 3x the A100+fastmoe per-chip
+throughput.  The reference publishes no throughput logs (BASELINE.md); we
+anchor on an estimated 8 img/s/chip for A100+fastmoe on this exact workload
+(5 backbone passes/step; the reference trained with trBatch 4 on 2 GPUs,
+run_exps.sh) -> target = 24 img/s/chip.  vs_baseline >= 1.0 meets the target.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+TARGET_IMGS_PER_SEC_PER_CHIP = 24.0  # 3x estimated A100+fastmoe (see docstring)
+
+
+def main():
+    from __graft_entry__ import build_flagship
+    from m3vit_tpu.data.synthetic import synthetic_batch
+    from m3vit_tpu.losses.functions import loss_fn_for_task
+    from m3vit_tpu.train.optim import build_optimizer
+    from m3vit_tpu.train.state import create_train_state
+    from m3vit_tpu.train.step import make_train_step
+
+    n_chips = len(jax.devices())
+    batch_per_chip = 8
+    batch_size = batch_per_chip * n_chips
+
+    mesh = None
+    expert_axis = None
+    if n_chips > 1:
+        from m3vit_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=1, n_expert=n_chips)
+        expert_axis = "expert"
+
+    model, tasks = build_flagship(
+        mesh=mesh, expert_axis=expert_axis, dtype=jnp.bfloat16,
+        use_checkpointing=True, capacity_factor=2.0,
+    )
+    batch = synthetic_batch(jax.random.key(0), tasks, batch_size, (512, 512))
+
+    p = {
+        "optimizer": "sgd",
+        "optimizer_kwargs": {"lr": 0.002, "momentum": 0.9, "weight_decay": 1e-4},
+        "scheduler": "poly",
+        "epochs": 100,
+    }
+    tx = build_optimizer(p, steps_per_epoch=100)
+    state = create_train_state(model, jax.random.key(1), batch, tx)
+    if mesh is not None:
+        from m3vit_tpu.parallel.mesh import batch_sharding, shard_train_state
+
+        state = shard_train_state(state, mesh)
+        bsh = batch_sharding(mesh)
+        batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+
+    loss_fns = {t.name: loss_fn_for_task(t.name, {"edge_w": 0.95}) for t in tasks}
+    weights = {"semseg": 1.0, "human_parts": 2.0, "sal": 5.0, "edge": 50.0,
+               "normals": 10.0}
+    step = make_train_step(model, [t.name for t in tasks], loss_fns, weights,
+                           donate=True)
+
+    rng = jax.random.key(2)
+    # warmup / compile; float() is the barrier (block_until_ready is not
+    # reliable under the axon loopback relay)
+    for _ in range(2):
+        state, metrics = step(state, batch, rng)
+    float(metrics["loss_total"])
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, batch, rng)
+    float(metrics["loss_total"])
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch_size * n_steps / dt
+    per_chip = imgs_per_sec / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "train_throughput_vit_small_moe_e16k4_5task_512",
+                "value": round(per_chip, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(per_chip / TARGET_IMGS_PER_SEC_PER_CHIP, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

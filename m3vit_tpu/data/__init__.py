@@ -1,0 +1,3 @@
+from m3vit_tpu.data.synthetic import synthetic_batch
+
+__all__ = ["synthetic_batch"]

@@ -1,0 +1,138 @@
+"""Model factory: config dict -> flax model (the common_config.get_model
+equivalent; reference: utils/common_config.py:124-567).
+
+Reads the same YAML keys as the reference (backbone, backbone_kwargs, head,
+head_kwargs, setup, multi_gate, ...) plus the reference's CLI-level MoE flags
+surfaced as top-level config keys (moe_experts, moe_top_k, multi_gate,
+vmoe_noisy_std, moe_gate_type, gate_task_specific_dim).
+
+A crucial difference from the reference: `moe_experts` is the GLOBAL expert
+count — expert parallelism is expressed by passing a mesh with an 'expert'
+axis, never by dividing the expert count per process
+(the reference mutates args.moe_experts //= world_size, common_config.py:179-185).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+from m3vit_tpu.models.heads import VisionTransformerUpHead
+from m3vit_tpu.models.multitask import (
+    MultiTaskModel,
+    SingleTaskModel,
+    TaskConditionedMultiTaskModel,
+)
+from m3vit_tpu.models.vit import VisionTransformer
+from m3vit_tpu.models.vit_moe import VisionTransformerMoE
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+def _img_size(kw) -> tuple:
+    v = kw.get("img_size", (512, 512))
+    if isinstance(v, int):
+        return (v, v)
+    return tuple(v)
+
+
+def build_backbone(p, mesh=None, expert_axis: Optional[str] = "expert"):
+    kw = dict(p.get("backbone_kwargs") or {})
+    name = p["backbone"]
+    dtype = _DTYPES[p.get("compute_dtype", "bfloat16")]
+    common = dict(
+        img_size=_img_size(kw),
+        patch_size=int(kw.get("patch_size", 16)),
+        embed_dim=int(kw.get("embed_dim", 384)),
+        depth=int(kw.get("depth", 12)),
+        num_heads=int(kw.get("num_heads", 6)),
+        mlp_ratio=float(kw.get("mlp_ratio", 4.0)),
+        qkv_bias=bool(kw.get("qkv_bias", True)),
+        drop_rate=float(kw.get("drop_rate", 0.0)),
+        attn_drop_rate=float(kw.get("attn_drop_rate", 0.0)),
+        drop_path_rate=float(kw.get("drop_path_rate", 0.0)),
+        distilled=bool(kw.get("distilled", False)),
+        dtype=dtype,
+        use_checkpointing=bool(p.get("use_checkpointing", False)),
+    )
+
+    if name == "VisionTransformer_moe":
+        gate_dim = int(kw.get("gate_dim", -1))
+        embed_dim = common["embed_dim"]
+        num_tasks = int(
+            p.get("moe_num_tasks", gate_dim - embed_dim if gate_dim > 0 else 0)
+        )
+        if num_tasks <= 0:
+            num_tasks = len(p.get("TASK_NAMES", [])) or 1
+        backbone = VisionTransformerMoE(
+            moe_mlp_ratio=float(kw.get("moe_mlp_ratio", p.get("moe_mlp_ratio", -1))),
+            moe_experts=int(p.get("moe_experts", kw.get("moe_experts", 16))),
+            moe_top_k=int(p.get("moe_top_k", kw.get("moe_top_k", 4))),
+            vmoe_noisy_std=float(p.get("vmoe_noisy_std", kw.get("vmoe_noisy_std", 1.0))),
+            multi_gate=bool(p.get("multi_gate", False)),
+            num_tasks=num_tasks,
+            gate_task_specific_dim=int(p.get("gate_task_specific_dim", -1)),
+            capacity_factor=float(p.get("moe_capacity_factor", 2.0)),
+            eval_capacity_factor=float(p.get("moe_eval_capacity_factor", 4.0)),
+            mesh=mesh,
+            expert_axis=expert_axis,
+            **common,
+        )
+        return backbone, True
+    if name in ("VisionTransformer", "VisionTransformer_dense"):
+        return VisionTransformer(**common), False
+    raise NotImplementedError(f"backbone {name}")
+
+
+def build_head(p, task_name: str, num_output: int):
+    name = p.get("head", "VisionTransformerUpHead")
+    kw = dict(p.get("head_kwargs") or {})
+    dtype = _DTYPES[p.get("compute_dtype", "bfloat16")]
+    if name == "VisionTransformerUpHead":
+        return VisionTransformerUpHead(
+            img_size=_img_size(kw),
+            patch_size=int(kw.get("patch_size", 16)),
+            embed_dim=int(kw.get("embed_dim", 384)),
+            num_classes=num_output,
+            num_conv=int(kw.get("num_conv", 4)),
+            num_upsample_layer=int(kw.get("num_upsampe_layer", kw.get("num_upsample_layer", 4))),
+            conv3x3_conv1x1=bool(kw.get("conv3x3_conv1x1", True)),
+            dtype=dtype,
+        )
+    raise NotImplementedError(f"head {name}")
+
+
+def build_model(p, mesh=None, expert_axis: Optional[str] = "expert"):
+    """Return the composed model for config p (reference get_model,
+    common_config.py:468-567)."""
+    backbone, returns_tuple = build_backbone(p, mesh, expert_axis)
+    tasks = [t.name for t in p["TASKS"]]
+    decoders = {
+        t.name: build_head(p, t.name, t.num_output) for t in p["TASKS"]
+    }
+
+    if p["setup"] == "single_task":
+        task = tasks[0]
+        if returns_tuple:
+            return MultiTaskModel(
+                backbone=backbone, decoders=decoders, tasks=tasks,
+                multi_gate=bool(p.get("multi_gate", False)),
+                backbone_returns_tuple=True,
+            )
+        return SingleTaskModel(
+            backbone=backbone, decoder=decoders[task], task=task
+        )
+
+    assert p["setup"] == "multi_task"
+    if int(p.get("gate_task_specific_dim", -1)) > 0 and not p.get("multi_gate"):
+        return TaskConditionedMultiTaskModel(
+            backbone=backbone, decoders=decoders, tasks=tasks
+        )
+    return MultiTaskModel(
+        backbone=backbone,
+        decoders=decoders,
+        tasks=tasks,
+        multi_gate=bool(p.get("multi_gate", False)),
+        backbone_returns_tuple=returns_tuple,
+    )

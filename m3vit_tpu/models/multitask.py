@@ -1,0 +1,123 @@
+"""Model composition: shared encoder + per-task decoders.
+
+reference: models/models.py — SingleTaskModel (:137-148), MultiTaskModel
+(:151-342).  The multi-gate path runs the backbone once per task with that
+task's routers (:299-320); outputs are bilinearly resized to input size.
+
+All model outputs are NHWC; every forward returns
+(pred_dict, cv_loss, moe_stats) for a uniform train-step API.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from m3vit_tpu.models.heads import resize_bilinear
+
+
+class SingleTaskModel(nn.Module):
+    """Encoder + one decoder (reference models.py:137-148)."""
+
+    backbone: nn.Module
+    decoder: nn.Module
+    task: str
+
+    def __call__(self, x, train: bool = False):
+        out_size = x.shape[1:3]
+        feats = self.backbone(x, train=train)
+        cv = jnp.asarray(0.0, jnp.float32)
+        stats: Dict = {}
+        if isinstance(feats, tuple):
+            feats, cv, stats = feats
+        out = resize_bilinear(self.decoder(feats, train=train), out_size)
+        return {self.task: out}, cv, stats
+
+
+class MultiTaskModel(nn.Module):
+    """Shared encoder + task-specific decoders (reference models.py:151-342).
+
+    multi_gate=True: one backbone pass per task with task_id routing.
+    single_task: restrict forward to one task (sparse single-task inference /
+    one-by-one training, reference train_utils.py:370-421).
+    """
+
+    backbone: nn.Module
+    decoders: Dict[str, nn.Module]
+    tasks: List[str]
+    multi_gate: bool = False
+    backbone_returns_tuple: bool = True
+
+    def _run_backbone(self, x, task_id: Optional[int], train: bool):
+        tid = None if task_id is None else jnp.asarray(task_id, jnp.int32)
+        ret = self.backbone(x, task_id=tid, train=train)
+        if self.backbone_returns_tuple:
+            return ret
+        return ret, jnp.asarray(0.0, jnp.float32), {}
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        single_task: Optional[str] = None,
+    ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray, Dict]:
+        out_size = x.shape[1:3]
+        out: Dict[str, jnp.ndarray] = {}
+        total_cv = jnp.asarray(0.0, jnp.float32)
+        stats: Dict = {}
+
+        if single_task is not None:
+            tid = self.tasks.index(single_task) if self.multi_gate else None
+            feats, cv, stats = self._run_backbone(x, tid, train)
+            out[single_task] = resize_bilinear(
+                self.decoders[single_task](feats, train=train), out_size
+            )
+            return out, cv, stats
+
+        if self.multi_gate:
+            # one backbone pass per task, each with its own router set
+            for i, task in enumerate(self.tasks):
+                feats, cv, st = self._run_backbone(x, i, train)
+                total_cv = total_cv + cv
+                stats = st if not stats else jax.tree.map(
+                    lambda a, b: a + b, stats, st
+                )
+                out[task] = resize_bilinear(
+                    self.decoders[task](feats, train=train), out_size
+                )
+        else:
+            feats, total_cv, stats = self._run_backbone(x, None, train)
+            for task in self.tasks:
+                out[task] = resize_bilinear(
+                    self.decoders[task](feats, train=train), out_size
+                )
+        return out, total_cv, stats
+
+
+class TaskConditionedMultiTaskModel(nn.Module):
+    """Shared-gate task-conditioned mode: backbone runs once per task with a
+    task one-hot feature concatenated to the gate input
+    (reference models.py:215-287 with gate_task_specific_dim > 0)."""
+
+    backbone: nn.Module
+    decoders: Dict[str, nn.Module]
+    tasks: List[str]
+
+    def __call__(self, x, train: bool = False, single_task: Optional[str] = None):
+        out_size = x.shape[1:3]
+        out: Dict[str, jnp.ndarray] = {}
+        total_cv = jnp.asarray(0.0, jnp.float32)
+        stats: Dict = {}
+        names = [single_task] if single_task is not None else self.tasks
+        for task in names:
+            tid = jnp.asarray(self.tasks.index(task), jnp.int32)
+            feats, cv, st = self.backbone(x, task_id=tid, train=train)
+            total_cv = total_cv + cv
+            stats = st if not stats else jax.tree.map(lambda a, b: a + b, stats, st)
+            out[task] = resize_bilinear(
+                self.decoders[task](feats, train=train), out_size
+            )
+        return out, total_cv, stats

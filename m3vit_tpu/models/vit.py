@@ -1,0 +1,219 @@
+"""Dense ViT building blocks (flax.linen, NHWC, bf16-friendly).
+
+Functional equivalents of the reference's backbone pieces
+(reference: models/moe/ckpt/vision_transformer_moe.py:245-377 and
+models/backbones/vit.py), designed for the TPU: fused qkv projection,
+f32 softmax/LayerNorm, bf16 matmuls on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch nn.GELU default is the exact erf formulation
+gelu_exact = functools.partial(jax.nn.gelu, approximate=False)
+
+trunc_normal_init = nn.initializers.normal(stddev=0.02)
+Dtype = Any
+
+
+class PatchEmbed(nn.Module):
+    """Image -> patch tokens via a strided conv (reference :315-341)."""
+
+    patch_size: int = 16
+    embed_dim: int = 768
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # x: [B, H, W, 3] NHWC
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            dtype=self.dtype,
+            kernel_init=trunc_normal_init,
+            name="proj",
+        )(x)
+        b, h, w, c = x.shape
+        return x.reshape(b, h * w, c)
+
+
+class Attention(nn.Module):
+    """Multi-head self attention with fused qkv (reference :283-313)."""
+
+    num_heads: int = 8
+    qkv_bias: bool = False
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        B, N, C = x.shape
+        head_dim = C // self.num_heads
+        scale = self.qk_scale if self.qk_scale is not None else head_dim**-0.5
+
+        qkv = nn.Dense(
+            C * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+            kernel_init=trunc_normal_init, name="qkv",
+        )(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, hd]
+
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        if self.attn_drop > 0 and train:
+            attn = nn.Dropout(self.attn_drop, deterministic=False)(attn)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        out = nn.Dense(
+            C, dtype=self.dtype, kernel_init=trunc_normal_init, name="proj"
+        )(out)
+        if self.proj_drop > 0 and train:
+            out = nn.Dropout(self.proj_drop, deterministic=False)(out)
+        return out
+
+
+class MlpBlock(nn.Module):
+    """Dense transformer MLP (reference Mlp :245-261)."""
+
+    hidden_dim: int
+    out_dim: Optional[int] = None
+    drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        out_dim = self.out_dim or x.shape[-1]
+        x = nn.Dense(
+            self.hidden_dim, dtype=self.dtype, kernel_init=trunc_normal_init,
+            name="fc1",
+        )(x)
+        x = gelu_exact(x.astype(jnp.float32)).astype(self.dtype)
+        if self.drop > 0 and train:
+            x = nn.Dropout(self.drop, deterministic=False)(x)
+        x = nn.Dense(
+            out_dim, dtype=self.dtype, kernel_init=trunc_normal_init, name="fc2"
+        )(x)
+        if self.drop > 0 and train:
+            x = nn.Dropout(self.drop, deterministic=False)(x)
+        return x
+
+
+def drop_path(
+    x: jnp.ndarray, rate: float, train: bool, rng: Optional[jax.Array]
+) -> jnp.ndarray:
+    """Stochastic depth per sample (reference DropPath :167-185)."""
+    if rate == 0.0 or not train or rng is None:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+class DenseBlock(nn.Module):
+    """Pre-norm transformer block: x + attn(ln(x)); x + mlp(ln(x))."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        dp_rng = None
+        if self.drop_path_rate > 0 and train:
+            dp_rng = self.make_rng("dropout")
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        h = Attention(
+            self.num_heads, self.qkv_bias, self.qk_scale, self.attn_drop,
+            self.drop, dtype=self.dtype, name="attn",
+        )(h.astype(self.dtype), train)
+        x = x + drop_path(h, self.drop_path_rate, train, dp_rng)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        h = MlpBlock(
+            int(x.shape[-1] * self.mlp_ratio), drop=self.drop, dtype=self.dtype,
+            name="mlp",
+        )(h.astype(self.dtype), train)
+        return x + drop_path(h, self.drop_path_rate, train, dp_rng)
+
+
+class VisionTransformer(nn.Module):
+    """Dense ViT backbone returning final-block tokens
+    (reference: models/backbones/vit.py:344-501)."""
+
+    img_size: Tuple[int, int] = (512, 512)
+    patch_size: int = 16
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    distilled: bool = False
+    dtype: Dtype = jnp.float32
+    use_checkpointing: bool = False
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, task_id=None, train: bool = False
+    ) -> jnp.ndarray:
+        # task_id accepted (and ignored) for API uniformity with the MoE backbone
+        B = x.shape[0]
+        num_patches = (self.img_size[0] // self.patch_size) * (
+            self.img_size[1] // self.patch_size
+        )
+        num_extra = 2 if self.distilled else 1
+
+        tokens = PatchEmbed(self.patch_size, self.embed_dim, self.dtype,
+                            name="patch_embed")(x.astype(self.dtype))
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, self.embed_dim), jnp.float32
+        )
+        extra = [jnp.broadcast_to(cls, (B, 1, self.embed_dim)).astype(self.dtype)]
+        if self.distilled:
+            dist = self.param(
+                "dist_token", trunc_normal_init, (1, 1, self.embed_dim), jnp.float32
+            )
+            extra.append(
+                jnp.broadcast_to(dist, (B, 1, self.embed_dim)).astype(self.dtype)
+            )
+        tokens = jnp.concatenate(extra + [tokens], axis=1)
+
+        pos = self.param(
+            "pos_embed", trunc_normal_init,
+            (1, num_patches + num_extra, self.embed_dim), jnp.float32,
+        )
+        tokens = tokens + pos.astype(self.dtype)
+        if self.drop_rate > 0 and train:
+            tokens = nn.Dropout(self.drop_rate, deterministic=False)(tokens)
+
+        dpr = [
+            self.drop_path_rate * i / max(self.depth - 1, 1)
+            for i in range(self.depth)
+        ]
+        block_cls = DenseBlock
+        if self.use_checkpointing:
+            block_cls = nn.remat(DenseBlock, static_argnums=(2,))
+        for i in range(self.depth):
+            tokens = block_cls(
+                num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                drop=self.drop_rate, attn_drop=self.attn_drop_rate,
+                drop_path_rate=dpr[i], dtype=self.dtype, name=f"block_{i}",
+            )(tokens, train)
+        return tokens

@@ -1,0 +1,376 @@
+"""MoE Vision Transformer backbone (flax.linen, TPU-native).
+
+Equivalent capability to the reference's VisionTransformerMoE
+(reference: models/moe/ckpt/vision_transformer_moe.py:564-886) with the
+fastmoe CUDA runtime replaced by m3vit_tpu.moe (static-capacity dispatch +
+all_to_all expert parallelism).
+
+Parity invariants honored (SURVEY.md §Key invariants):
+  * MoE blocks at odd indices only (even = dense)          (:643-657)
+  * softmax-then-topk gating, raw-prob scores              (noisy_gate_vmoe)
+  * cv_loss = cv²(importance)+cv²(load) per MoE block, train only (:538-542)
+  * multi-gate = per-task routers (one backbone pass per task);
+    task-conditioned = shared router + one-hot task MLP feature (:638-641,793-797)
+
+TPU-first deltas (documented, not semantic):
+  * routing capacity is static (capacity_factor); fastmoe is ragged
+  * per-task gates are a stacked [num_tasks, d_gate, E] parameter indexed by
+    a traced task_id — one compiled graph serves every task, and unused-gate
+    grads are structurally zero (replacing the reference's DDP unused-param
+    hack, custom_moe_layer.py:215-217)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from m3vit_tpu.models.vit import (
+    Attention,
+    DenseBlock,
+    MlpBlock,
+    PatchEmbed,
+    drop_path,
+    gelu_exact,
+    trunc_normal_init,
+)
+from m3vit_tpu.moe.dispatch import MoEFfnParams, moe_ffn
+from m3vit_tpu.moe.gating import GateOutput, gate_init, moe_aux_loss, noisy_vmoe_gate
+
+Dtype = Any
+
+
+def _expert_kernel_init(key, shape, dtype=jnp.float32):
+    """FMoELinear-style kaiming_uniform(a=sqrt(5)) on [E, d_in, d_out]:
+    torch's 3-D fan_in = d_in * d_out, giving bound = 1/sqrt(d_in*d_out)."""
+    fan = shape[1] * shape[2]
+    bound = (1.0 / fan) ** 0.5
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+class TaskRepresentMlp(nn.Module):
+    """One-hot task -> gate feature (reference new_Mlp, vision_transformer_moe.py:263-281)."""
+
+    hidden_dim: int
+    out_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, one_hot: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden_dim, kernel_init=trunc_normal_init, name="fc1")(
+            one_hot
+        )
+        x = gelu_exact(x)
+        x = nn.Dense(self.out_dim, kernel_init=trunc_normal_init, name="fc2")(x)
+        return nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+
+
+class MoEMlp(nn.Module):
+    """The FMoETransformerMLP equivalent: gate -> dispatch -> experts -> combine.
+
+    reference: models/moe/ckpt/custom_moe_layer.py:66-321
+    """
+
+    num_experts: int
+    d_hidden: int
+    top_k: int = 2
+    vmoe_noisy_std: float = 1.0
+    multi_gate: bool = False
+    num_tasks: int = 0
+    gate_task_specific_dim: int = -1
+    drop: float = 0.0
+    capacity_factor: float = 2.0
+    eval_capacity_factor: float = 4.0
+    mesh: Any = None
+    expert_axis: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, N, C]
+        task_id: Optional[jnp.ndarray],  # traced int32 scalar or None
+        task_feature: Optional[jnp.ndarray],  # [task_dim] or None
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, GateOutput]:
+        B, N, C = x.shape
+        E = self.num_experts
+
+        d_gate = C
+        if self.gate_task_specific_dim > 0 and not self.multi_gate:
+            d_gate = C + self.gate_task_specific_dim
+
+        gate_inp = x.reshape(-1, C).astype(jnp.float32)
+        if task_feature is not None:
+            assert not self.multi_gate
+            feat = jnp.broadcast_to(
+                task_feature[None, :], (gate_inp.shape[0], task_feature.shape[-1])
+            )
+            gate_inp = jnp.concatenate([gate_inp, feat], axis=-1)
+
+        if self.multi_gate:
+            assert self.num_tasks > 0, "multi_gate requires num_tasks"
+            w_gate_all = self.param(
+                "w_gate",
+                lambda k, s: jax.vmap(lambda kk: gate_init(kk, d_gate, E))(
+                    jax.random.split(k, s[0])
+                ),
+                (self.num_tasks, d_gate, E),
+            )
+            tid = jnp.clip(task_id, 0, self.num_tasks - 1)
+            w_gate = jnp.take(w_gate_all, tid, axis=0)
+        else:
+            w_gate = self.param(
+                "w_gate", lambda k, s: gate_init(k, *s[1:]), (1, d_gate, E)
+            )[0]
+
+        rng = self.make_rng("gate_noise") if train else None
+        gate = noisy_vmoe_gate(
+            gate_inp,
+            w_gate,
+            top_k=self.top_k,
+            noise_std=self.vmoe_noisy_std,
+            train=train,
+            rng=rng,
+        )
+
+        params = MoEFfnParams(
+            w1=self.param("experts_w1", _expert_kernel_init, (E, C, self.d_hidden)),
+            b1=self.param("experts_b1", nn.initializers.zeros, (E, self.d_hidden)),
+            w2=self.param("experts_w2", _expert_kernel_init, (E, self.d_hidden, C)),
+            b2=self.param("experts_b2", nn.initializers.zeros, (E, C)),
+        )
+
+        drop_rng = None
+        if self.drop > 0 and train:
+            drop_rng = self.make_rng("dropout")
+        cf = self.capacity_factor if train else self.eval_capacity_factor
+
+        out = moe_ffn(
+            x,
+            gate.top_k_indices.reshape(B, N, self.top_k),
+            gate.top_k_gates.reshape(B, N, self.top_k),
+            params,
+            mesh=self.mesh,
+            expert_axis=self.expert_axis,
+            capacity_factor=cf,
+            compute_dtype=self.dtype,
+            dropout_rate=self.drop,
+            dropout_rng=drop_rng,
+        )
+        return out.astype(x.dtype), gate
+
+
+class MoEBlock(nn.Module):
+    """Transformer block with an MoE FFN (odd blocks in the reference).
+
+    reference: ckpt/vision_transformer_moe.py:379-562 (Block with moe=True)
+    """
+
+    num_heads: int
+    moe_hidden_dim: int
+    moe_experts: int = 16
+    moe_top_k: int = 4
+    vmoe_noisy_std: float = 1.0
+    multi_gate: bool = False
+    num_tasks: int = 0
+    gate_task_specific_dim: int = -1
+    qkv_bias: bool = False
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    capacity_factor: float = 2.0
+    eval_capacity_factor: float = 4.0
+    mesh: Any = None
+    expert_axis: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        task_id: Optional[jnp.ndarray],
+        task_feature: Optional[jnp.ndarray],
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
+        dp_rng = None
+        if self.drop_path_rate > 0 and train:
+            dp_rng = self.make_rng("dropout")
+
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        h = Attention(
+            self.num_heads, self.qkv_bias, self.qk_scale, self.attn_drop,
+            self.drop, dtype=self.dtype, name="attn",
+        )(h.astype(self.dtype), train)
+        x = x + drop_path(h, self.drop_path_rate, train, dp_rng)
+
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        moe_out, gate = MoEMlp(
+            num_experts=self.moe_experts,
+            d_hidden=self.moe_hidden_dim,
+            top_k=self.moe_top_k,
+            vmoe_noisy_std=self.vmoe_noisy_std,
+            multi_gate=self.multi_gate,
+            num_tasks=self.num_tasks,
+            gate_task_specific_dim=self.gate_task_specific_dim,
+            drop=self.drop,
+            capacity_factor=self.capacity_factor,
+            eval_capacity_factor=self.eval_capacity_factor,
+            mesh=self.mesh,
+            expert_axis=self.expert_axis,
+            dtype=self.dtype,
+            name="mlp",
+        )(h.astype(self.dtype), task_id, task_feature, train)
+        if self.drop > 0 and train:
+            moe_out = nn.Dropout(self.drop, deterministic=False)(moe_out)
+        x = x + drop_path(moe_out, self.drop_path_rate, train, dp_rng)
+
+        cv_loss = moe_aux_loss(gate, self.moe_top_k, self.moe_experts, train)
+
+        # MoE analysis stats (reference _ckpt_main_moe :461-480), detached
+        probs = jax.lax.stop_gradient(gate.gates.astype(jnp.float32))
+        ent = -(jnp.clip(probs, 1e-12) ** 0 * probs * jnp.log(jnp.clip(probs, 1e-12))).sum(-1)
+        stats = {
+            "gate_entropy_sum": ent.sum(),
+            "top1_prob_sum": probs.max(-1).sum(),
+            "gate_token_count": jnp.asarray(probs.shape[0], jnp.float32),
+            "expert_load_hist": (probs > 0).sum(0).astype(jnp.float32),
+        }
+        return x, cv_loss, stats
+
+
+class VisionTransformerMoE(nn.Module):
+    """MoE ViT backbone: even blocks dense, odd blocks MoE.
+
+    Returns (tokens [B, 1+N, C], total_cv_loss, stats).
+    reference: ckpt/vision_transformer_moe.py:564-886
+    """
+
+    img_size: Tuple[int, int] = (512, 512)
+    patch_size: int = 16
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    distilled: bool = False
+    # MoE
+    moe_mlp_ratio: float = -1.0  # expert hidden = embed_dim * this (<0 -> mlp_ratio)
+    moe_experts: int = 16
+    moe_top_k: int = 4
+    vmoe_noisy_std: float = 1.0
+    multi_gate: bool = False
+    num_tasks: int = 0  # = gate_dim - embed_dim in reference configs
+    gate_task_specific_dim: int = -1
+    capacity_factor: float = 2.0
+    eval_capacity_factor: float = 4.0
+    # parallelism / precision
+    mesh: Any = None
+    expert_axis: Optional[str] = None
+    dtype: Dtype = jnp.float32
+    use_checkpointing: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, H, W, 3]
+        task_id: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
+        B = x.shape[0]
+        num_patches = (self.img_size[0] // self.patch_size) * (
+            self.img_size[1] // self.patch_size
+        )
+        num_extra = 2 if self.distilled else 1
+
+        tokens = PatchEmbed(self.patch_size, self.embed_dim, self.dtype,
+                            name="patch_embed")(x.astype(self.dtype))
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, self.embed_dim), jnp.float32
+        )
+        extra = [jnp.broadcast_to(cls, (B, 1, self.embed_dim)).astype(self.dtype)]
+        if self.distilled:
+            dist = self.param(
+                "dist_token", trunc_normal_init, (1, 1, self.embed_dim), jnp.float32
+            )
+            extra.append(
+                jnp.broadcast_to(dist, (B, 1, self.embed_dim)).astype(self.dtype)
+            )
+        tokens = jnp.concatenate(extra + [tokens], axis=1)
+        pos = self.param(
+            "pos_embed", trunc_normal_init,
+            (1, num_patches + num_extra, self.embed_dim), jnp.float32,
+        )
+        tokens = tokens + pos.astype(self.dtype)
+        if self.drop_rate > 0 and train:
+            tokens = nn.Dropout(self.drop_rate, deterministic=False)(tokens)
+
+        # task-conditioned shared router feature (reference :638-641, 793-797)
+        task_feature = None
+        if self.gate_task_specific_dim > 0 and not self.multi_gate:
+            assert self.num_tasks > 0
+            one_hot = jax.nn.one_hot(
+                jnp.clip(task_id, 0, self.num_tasks - 1), self.num_tasks
+            )
+            task_feature = TaskRepresentMlp(
+                hidden_dim=int(self.gate_task_specific_dim),
+                out_dim=self.gate_task_specific_dim,
+                name="gate_task_represent",
+            )(one_hot)
+
+        moe_hidden = int(
+            self.embed_dim
+            * (self.moe_mlp_ratio if self.moe_mlp_ratio > 0 else self.mlp_ratio)
+        )
+        dpr = [
+            self.drop_path_rate * i / max(self.depth - 1, 1)
+            for i in range(self.depth)
+        ]
+
+        dense_cls, moe_cls = DenseBlock, MoEBlock
+        if self.use_checkpointing:
+            dense_cls = nn.remat(DenseBlock, static_argnums=(2,))
+            moe_cls = nn.remat(MoEBlock, static_argnums=(4,))
+
+        total_cv = jnp.asarray(0.0, jnp.float32)
+        agg = None
+        for i in range(self.depth):
+            if i % 2 == 0:
+                tokens = dense_cls(
+                    num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+                    qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                    drop=self.drop_rate, attn_drop=self.attn_drop_rate,
+                    drop_path_rate=dpr[i], dtype=self.dtype, name=f"block_{i}",
+                )(tokens, train)
+            else:
+                tokens, cv, stats = moe_cls(
+                    num_heads=self.num_heads, moe_hidden_dim=moe_hidden,
+                    moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
+                    vmoe_noisy_std=self.vmoe_noisy_std, multi_gate=self.multi_gate,
+                    num_tasks=self.num_tasks,
+                    gate_task_specific_dim=self.gate_task_specific_dim,
+                    qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                    drop=self.drop_rate, attn_drop=self.attn_drop_rate,
+                    drop_path_rate=dpr[i],
+                    capacity_factor=self.capacity_factor,
+                    eval_capacity_factor=self.eval_capacity_factor,
+                    mesh=self.mesh, expert_axis=self.expert_axis,
+                    dtype=self.dtype, name=f"block_{i}",
+                )(tokens, task_id, task_feature, train)
+                total_cv = total_cv + cv
+                agg = (
+                    stats
+                    if agg is None
+                    else jax.tree.map(lambda a, b: a + b, agg, stats)
+                )
+
+        stats_out = agg if agg is not None else {}
+        return tokens, total_cv, stats_out

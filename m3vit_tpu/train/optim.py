@@ -1,0 +1,77 @@
+"""Optimizers and LR schedules (reference: utils/common_config.py:858-924).
+
+torch-SGD semantics preserved: coupled weight decay (grad += wd * param before
+the momentum buffer), single param group, decay applied to every parameter.
+LR is adjusted once per epoch: poly  lr*(1-epoch/epochs)^0.9  or step decay.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import optax
+
+
+def poly_lr(base_lr: float, epochs: int, steps_per_epoch: int):
+    """Per-epoch poly schedule, constant within an epoch
+    (reference adjust_learning_rate, common_config.py:914-916)."""
+
+    def schedule(step):
+        epoch = jnp.floor_divide(step, steps_per_epoch)
+        frac = 1.0 - epoch.astype(jnp.float32) / float(epochs)
+        return base_lr * jnp.power(jnp.maximum(frac, 0.0), 0.9)
+
+    return schedule
+
+
+def step_lr(base_lr: float, steps_per_epoch: int, decay_epochs, decay_rate: float):
+    decay_epochs = jnp.asarray(list(decay_epochs), jnp.float32)
+
+    def schedule(step):
+        epoch = (step // steps_per_epoch).astype(jnp.float32)
+        n = (epoch[None] > decay_epochs).sum() if epoch.ndim else (
+            epoch > decay_epochs
+        ).sum()
+        return base_lr * decay_rate ** n.astype(jnp.float32)
+
+    return schedule
+
+
+def build_schedule(p, steps_per_epoch: int):
+    kw = p.get("optimizer_kwargs") or {}
+    base_lr = float(kw.get("lr", 1e-3))
+    if p.get("scheduler", "poly") == "poly":
+        return poly_lr(base_lr, int(p["epochs"]), steps_per_epoch)
+    if p["scheduler"] == "step":
+        skw = p.get("scheduler_kwargs") or {}
+        return step_lr(
+            base_lr, steps_per_epoch,
+            skw.get("lr_decay_epochs", []), float(skw.get("lr_decay_rate", 0.1)),
+        )
+    raise ValueError(p["scheduler"])
+
+
+def build_optimizer(p, steps_per_epoch: int) -> optax.GradientTransformation:
+    kw = dict(p.get("optimizer_kwargs") or {})
+    schedule = build_schedule(p, steps_per_epoch)
+    name = p.get("optimizer", "sgd")
+    wd = float(kw.get("weight_decay", 0.0))
+
+    if name == "sgd":
+        parts = []
+        if wd > 0:
+            parts.append(optax.add_decayed_weights(wd))
+        parts.append(
+            optax.sgd(
+                schedule,
+                momentum=float(kw.get("momentum", 0.0)) or None,
+                nesterov=bool(kw.get("nesterov", False)),
+            )
+        )
+        return optax.chain(*parts)
+    if name == "adam":
+        return optax.adam(schedule)
+    if name == "adamw":
+        return optax.adamw(schedule, weight_decay=wd)
+    raise ValueError(f"Invalid optimizer {name}")
