@@ -1,0 +1,298 @@
+"""Multi-task (MoE-)ViT trainer CLI — the train_fastmoe.py / train_vit.py /
+main.py equivalent (reference: train_fastmoe.py:76-761).
+
+Differences from the reference launcher:
+  * no torchrun/process groups: one process drives all local chips through a
+    (data, expert) mesh; expert parallelism is a sharding, not a world size
+  * checkpoints are world-size-independent Orbax directories
+  * --synthetic trains on generated batches (smoke/perf runs without data)
+
+Example:
+  python -m m3vit_tpu.cli.train --config_exp configs/pascal/vit_moe_small.yml \
+      --moe_experts 16 --moe_top_k 4 --multi_gate --use_cv_loss \
+      --use_checkpointing --synthetic 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from m3vit_tpu.config import create_config
+from m3vit_tpu.data.loader import (EpochLoader, device_put_batches,
+                                    get_dataset, pad_batch)
+from m3vit_tpu.data.synthetic import synthetic_batch
+from m3vit_tpu.data.transforms import get_transformations
+from m3vit_tpu.evaluation.orchestrate import evaluate_online, validate_results
+from m3vit_tpu.losses.functions import loss_fn_for_task
+from m3vit_tpu.models.factory import build_model
+from m3vit_tpu.parallel.mesh import batch_sharding, make_mesh, shard_train_state
+from m3vit_tpu.train.optim import build_optimizer
+from m3vit_tpu.train.state import create_train_state
+from m3vit_tpu.train.step import make_eval_step, make_train_step
+from m3vit_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+from m3vit_tpu.utils.logging import MetricLogger, setup_stdout_tee
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser("m3vit_tpu trainer")
+    ap.add_argument("--config_env", default=None)
+    ap.add_argument("--config_exp", required=True)
+    ap.add_argument("--run_name", default=None)
+    ap.add_argument("--save_dir", default=None)
+    # MoE flags (reference train_fastmoe.py:76-182)
+    ap.add_argument("--moe_experts", type=int, default=None)
+    ap.add_argument("--moe_top_k", type=int, default=None)
+    ap.add_argument("--multi_gate", action="store_true")
+    ap.add_argument("--moe_gate_type", default="noisy_vmoe")
+    ap.add_argument("--vmoe_noisy_std", type=float, default=None)
+    ap.add_argument("--moe_noisy_gate_loss_weight", type=float, default=0.01)
+    ap.add_argument("--gate_task_specific_dim", type=int, default=None)
+    ap.add_argument("--moe_capacity_factor", type=float, default=None)
+    ap.add_argument("--use_cv_loss", action="store_true")
+    ap.add_argument("--use_checkpointing", action="store_true")
+    ap.add_argument("--compute_dtype", default=None,
+                    choices=[None, "bfloat16", "float32"])
+    # mesh
+    ap.add_argument("--n_data", type=int, default=1)
+    ap.add_argument("--n_expert", type=int, default=None)
+    # run control
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--trBatch", type=int, default=None)
+    ap.add_argument("--valBatch", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--eval", action="store_true", help="eval-only")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--dev_test", action="store_true",
+                    help="run one eval before training")
+    ap.add_argument("--overfit", action="store_true")
+    ap.add_argument("--synthetic", type=int, default=0, metavar="NBATCH",
+                    help="train on N synthetic batches/epoch (no dataset needed)")
+    ap.add_argument("--wandb", action="store_true")
+    ap.add_argument("--log_interval", type=int, default=25)
+    return ap.parse_args(argv)
+
+
+class SyntheticLoader:
+    """Fixed set of synthetic batches (smoke mode)."""
+
+    def __init__(self, tasks, n_batches: int, batch_size: int, img_size):
+        self.batches = [
+            {k: np.asarray(v) for k, v in
+             synthetic_batch(jax.random.key(i), tasks, batch_size,
+                             img_size).items()}
+            for i in range(n_batches)
+        ]
+        for i, b in enumerate(self.batches):
+            b["meta"] = [
+                {"image": f"synth_{i}_{j}", "im_size": tuple(img_size)}
+                for j in range(batch_size)
+            ]
+
+    def __len__(self):
+        return len(self.batches)
+
+    def epoch(self, epoch: int):
+        yield from self.batches
+
+
+def build_everything(args, p):
+    n_chips = len(jax.devices())
+    n_expert = args.n_expert if args.n_expert is not None else max(
+        n_chips // args.n_data, 1
+    )
+    mesh = None
+    if args.n_data * n_expert > 1:
+        mesh = make_mesh(args.n_data, n_expert)
+    model = build_model(p, mesh=mesh, expert_axis="expert" if mesh else None)
+    return model, mesh
+
+
+def run(args) -> Dict:
+    overrides = {
+        k: getattr(args, k)
+        for k in ("moe_experts", "moe_top_k", "vmoe_noisy_std",
+                  "gate_task_specific_dim", "moe_capacity_factor", "epochs",
+                  "trBatch", "valBatch", "compute_dtype", "save_dir",
+                  "run_name")
+        if getattr(args, k) is not None
+    }
+    overrides["multi_gate"] = args.multi_gate
+    overrides["use_cv_loss"] = args.use_cv_loss
+    overrides["use_checkpointing"] = args.use_checkpointing
+    if args.overfit:
+        overrides["overfit"] = True
+    p = create_config(args.config_env, args.config_exp, overrides,
+                      make_dirs=True)
+    setup_stdout_tee(p["output_dir"])
+    logger = MetricLogger(p["output_dir"], use_wandb=args.wandb, config=p,
+                          run_name=args.run_name)
+    print(f"devices: {jax.devices()}")
+    print(f"tasks: {p['TASK_NAMES']}")
+
+    model, mesh = build_everything(args, p)
+    tasks = list(p["TASK_NAMES"])
+    loss_fns = {t: loss_fn_for_task(t, p) for t in tasks}
+    loss_weights = dict(
+        (p.get("loss_kwargs") or {}).get("loss_weights", {t: 1.0 for t in tasks})
+    )
+
+    # data
+    batch_size = int(p.get("trBatch", 2)) * max(len(jax.devices()), 1)
+    val_batch = int(p.get("valBatch", p.get("trBatch", 2))) * max(
+        len(jax.devices()), 1
+    )
+    if args.synthetic:
+        train_loader = SyntheticLoader(p["TASKS"], args.synthetic, batch_size,
+                                       p["train_scale"])
+        val_loader = SyntheticLoader(p["TASKS"], max(args.synthetic // 2, 1),
+                                     val_batch, p["test_scale"])
+    else:
+        tr, ts = get_transformations(p)
+
+        class _TDS:
+            def __init__(self, ds, t, seed):
+                self.ds, self.t, self.seed = ds, t, seed
+
+            def __len__(self):
+                return len(self.ds)
+
+            def __getitem__(self, i):
+                rng = np.random.RandomState(
+                    (self.seed * 1_000_003 + i) % (2**31)
+                )
+                return self.t(self.ds[i], rng)
+
+        train_loader = EpochLoader(
+            _TDS(get_dataset(p, "train", None, overfit=p["overfit"]), tr,
+                 args.seed),
+            batch_size=batch_size, shuffle=True, seed=args.seed,
+        )
+        val_loader = EpochLoader(
+            _TDS(get_dataset(p, "val", None, overfit=p["overfit"]), ts,
+                 args.seed),
+            batch_size=val_batch, shuffle=False, drop_last=False,
+        )
+
+    steps_per_epoch = max(len(train_loader), 1)
+    epochs = int(p["epochs"])
+    tx = build_optimizer(p, steps_per_epoch)
+
+    sample = next(iter(train_loader.epoch(0)))
+    sample = {k: v for k, v in sample.items() if k != "meta"}
+    state = create_train_state(model, jax.random.key(args.seed), sample, tx)
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    print(f"parameters: {n_params/1e6:.2f}M, steps/epoch: {steps_per_epoch}")
+
+    bsh = None
+    if mesh is not None:
+        state = shard_train_state(state, mesh)
+        bsh = batch_sharding(mesh)
+
+    start_epoch = 0
+    if args.resume or args.eval:
+        restored, meta = restore_checkpoint(p["checkpoint_dir"], state)
+        if restored is not None:
+            state = restored
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            print(f"resumed from epoch {start_epoch - 1}")
+        elif args.eval:
+            raise FileNotFoundError(
+                f"--eval needs a checkpoint in {p['checkpoint_dir']}"
+            )
+
+    train_step = make_train_step(model, tasks, loss_fns, loss_weights,
+                                 cv_weight=float(args.moe_noisy_gate_loss_weight))
+    eval_step = make_eval_step(model, tasks)
+
+    def run_eval(epoch: int) -> Dict:
+        batches = val_loader.epoch(epoch)
+        if bsh is not None:
+            batches = (pad_batch(b, val_batch) for b in batches)
+            batches = device_put_batches(batches, bsh)
+        results = evaluate_online(p, eval_step, state, batches, epoch)
+        logger.log_val_performance(results, epoch)
+        print(f"[epoch {epoch}] val: "
+              + ", ".join(f"{t}={results[t]}" for t in tasks))
+        if "multi_task_performance" in results:
+            print(f"[epoch {epoch}] Δm = "
+                  f"{100 * results['multi_task_performance']:.2f}%")
+        return results
+
+    if args.eval:
+        return run_eval(start_epoch)
+    if args.dev_test:
+        run_eval(start_epoch)
+
+    eval_interval = int(p.get("eval_interval", 1))
+    final10 = bool(p.get("eval_final_10_epochs_only", False))
+    best: Optional[Dict] = None
+    rng = jax.random.key(args.seed + 1)
+
+    for epoch in range(start_epoch, epochs):
+        t_epoch = time.time()
+        seen = 0
+        batches = train_loader.epoch(epoch)
+        if bsh is not None:
+            batches = device_put_batches(batches, bsh)
+        t_win = time.time()
+        for it, batch in enumerate(batches):
+            batch = {k: v for k, v in batch.items() if k != "meta"}
+            state, metrics = train_step(state, batch, rng)
+            seen += batch_size
+            if (it + 1) % args.log_interval == 0:
+                loss = float(metrics["loss_total"])  # sync point
+                dt = time.time() - t_win
+                ips = args.log_interval * batch_size / dt
+                t_win = time.time()
+                step = epoch * steps_per_epoch + it
+                logger.log_train_losses(
+                    {k: float(v) for k, v in metrics.items()}
+                    | {"throughput_images_per_sec": ips}, epoch, step)
+                print(f"[epoch {epoch} it {it+1}/{steps_per_epoch}] "
+                      f"loss={loss:.4f} ips={ips:.1f}")
+        # epoch end: final loss sync
+        loss = float(metrics["loss_total"])
+        print(f"[epoch {epoch}] done in {time.time()-t_epoch:.1f}s "
+              f"loss={loss:.4f}")
+
+        # reference policy (train_fastmoe.py:643-657): eval every
+        # eval_interval epochs; with eval_final_10_epochs_only, only within
+        # the last 10 epochs (the final epoch always evaluates)
+        do_eval = ((epoch + 1) % eval_interval == 0) or epoch == epochs - 1
+        if final10 and epoch < epochs - 10 and epoch != epochs - 1:
+            do_eval = False
+        if do_eval:
+            results = run_eval(epoch)
+            best, improved = validate_results(p, results, best)
+            if improved:
+                save_checkpoint(p["best_model_dir"], state, epoch,
+                                {"results": _plain(results)})
+                logger.log_best(results, epoch)
+        save_checkpoint(p["checkpoint_dir"], state, epoch)
+
+    return {"best": best}
+
+
+def _plain(d):
+    if isinstance(d, dict):
+        return {k: _plain(v) for k, v in d.items()}
+    if isinstance(d, (list, tuple)):
+        return [_plain(v) for v in d]
+    try:
+        return float(d)
+    except Exception:
+        return d
+
+
+def main(argv=None):
+    run(parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

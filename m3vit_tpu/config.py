@@ -120,8 +120,9 @@ def create_config(
     if p["train_db_name"] not in _DB_SCALES:
         raise NotImplementedError(p["train_db_name"])
     train_scale, test_scale = _DB_SCALES[p["train_db_name"]]
-    p["train_scale"] = train_scale
-    p["test_scale"] = test_scale
+    # explicit YAML override (non-reference extension; used by smoke configs)
+    p["train_scale"] = tuple(p.get("train_scale", train_scale))
+    p["test_scale"] = tuple(p.get("test_scale", test_scale))
 
     # Flag defaults (reference: utils/config.py:196-213)
     p.setdefault("overfit", False)

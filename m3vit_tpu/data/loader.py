@@ -147,6 +147,23 @@ class EpochLoader:
                 stop.set()
 
 
+def pad_batch(batch: Dict, to_size: int) -> Dict:
+    """Pad a batch to `to_size` rows by repeating the last sample.  'meta'
+    keeps only the real entries, so evaluation ignores the padding."""
+    n = next(v.shape[0] for k, v in batch.items() if k != "meta")
+    if n >= to_size:
+        return batch
+    reps = to_size - n
+    out = {}
+    for k, v in batch.items():
+        if k == "meta":
+            out[k] = v
+        else:
+            pad = np.repeat(v[-1:], reps, axis=0)
+            out[k] = np.concatenate([v, pad], axis=0)
+    return out
+
+
 def device_put_batches(batches: Iterator[Dict], sharding=None) -> Iterator[Dict]:
     """Move host batches onto the mesh with one-step lookahead so the host
     stays ahead of the device (double-buffered HBM input)."""

@@ -1,0 +1,139 @@
+"""Evaluation orchestration: run the model over the val set and score it.
+
+Two protocols:
+  * online  — accumulate meters directly on post-processed predictions at the
+    network's output resolution resized back to each image's ORIGINAL size
+    with the task's inference interpolation (the reference's protocol scores
+    at original resolution, SURVEY invariant #6).
+  * save-to-disk — reference-compatible: write per-image PNG (.mat for depth)
+    into save_dir/<task>/ (reference save_model_predictions,
+    evaluate_utils.py:275-358), then score the files (eval_all_results,
+    :361-429).  Used for parity checks and the external edge evaluator.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional
+
+import cv2
+import numpy as np
+
+from m3vit_tpu.evaluation.meters import (
+    PerformanceMeter,
+    calculate_multi_task_performance,
+    single_task_reference_dict,
+)
+from m3vit_tpu.evaluation.outputs import get_output
+
+_CV2 = {"nearest": cv2.INTER_NEAREST, "linear": cv2.INTER_LINEAR,
+        "cubic": cv2.INTER_CUBIC}
+
+
+def _resize_pred(pred: np.ndarray, size, flag: str) -> np.ndarray:
+    """Resize one image's postprocessed prediction back to original size."""
+    if pred.shape[:2] == tuple(size):
+        return pred
+    return cv2.resize(pred.astype(np.float32), tuple(size)[::-1],
+                      interpolation=_CV2[flag])
+
+
+def evaluate_online(
+    p,
+    eval_step: Callable,
+    state,
+    val_loader,
+    epoch: int = 0,
+    gt_loader=None,
+) -> Dict:
+    """Online evaluation at original image resolution.
+
+    val_loader yields batches with 'meta' (original sizes).  gt_loader maps
+    im_id -> dict of original-resolution labels; when None, scoring uses the
+    batch's (resized) labels — faster, slightly off the reference protocol.
+    """
+    meter = PerformanceMeter(p)
+    infer_flags = {t.name: t.infer_flagval for t in p["TASKS"]}
+    for batch in val_loader:
+        meta = batch["meta"]
+        arrays = {k: v for k, v in batch.items() if k != "meta"}
+        pred = eval_step(state, arrays)
+        pred = {k: np.asarray(v) for k, v in pred.items()}
+        for task, raw in pred.items():
+            post = get_output(raw, task)  # [B, ...]
+            for i, m in enumerate(meta):
+                size = m["im_size"]
+                pr = _resize_pred(np.asarray(post[i]), size, infer_flags[task])
+                if gt_loader is not None:
+                    gt = gt_loader(m["image"], task)
+                else:
+                    gt_b = np.asarray(batch[task][i])
+                    gt = _resize_pred(gt_b, size, "nearest")
+                meter.meters[task].update(pr[None], np.asarray(gt)[None])
+    results = meter.get_score()
+    if p.get("setup") == "multi_task":
+        stl = single_task_reference_dict(p["train_db_name"], p["TASK_NAMES"])
+        if stl:
+            results["multi_task_performance"] = calculate_multi_task_performance(
+                results, stl
+            )
+    return results
+
+
+def save_model_predictions(
+    p, eval_step: Callable, state, val_loader, save_dir: Optional[str] = None
+) -> str:
+    """Write per-image predictions to disk (reference protocol)."""
+    import scipy.io as sio
+
+    save_dir = save_dir or p["save_dir"]
+    tasks = list(p["TASK_NAMES"])
+    for t in tasks:
+        os.makedirs(os.path.join(save_dir, t), exist_ok=True)
+    infer_flags = {t.name: t.infer_flagval for t in p["TASKS"]}
+
+    for batch in val_loader:
+        meta = batch["meta"]
+        arrays = {k: v for k, v in batch.items() if k != "meta"}
+        pred = eval_step(state, arrays)
+        for task in tasks:
+            post = get_output(np.asarray(pred[task]), task)
+            for i, m in enumerate(meta):
+                size = m["im_size"]
+                pr = _resize_pred(np.asarray(post[i]), size, infer_flags[task])
+                fname = os.path.join(save_dir, task, f"{m['image']}")
+                if task == "depth":
+                    sio.savemat(fname + ".mat", {"depth": pr})
+                else:
+                    arr = pr
+                    if task in ("semseg", "human_parts"):
+                        arr = pr.astype(np.uint8)
+                    else:
+                        arr = np.clip(np.round(pr), 0, 255).astype(np.uint8)
+                    cv2.imwrite(
+                        fname + ".png",
+                        arr if arr.ndim == 2 else arr[:, :, ::-1],
+                    )
+    return save_dir
+
+
+def validate_results(p, current: Dict, best: Optional[Dict]) -> (Dict, bool):
+    """Track the best model (reference validate_results,
+    evaluate_utils.py:104-179): multi-task uses Δm, single task its metric."""
+    if best is None:
+        return current, True
+    if "multi_task_performance" in current:
+        improve = (
+            current["multi_task_performance"] > best.get(
+                "multi_task_performance", -1e9)
+        )
+        return (current, True) if improve else (best, False)
+    task = p["TASK_NAMES"][0]
+    cur, prev = current[task], best[task]
+    higher = {"semseg": "mIoU", "human_parts": "mIoU", "sal": "mIoU"}
+    lower = {"normals": "mean", "depth": "rmse", "edge": "loss"}
+    if task in higher:
+        improve = cur[higher[task]] > prev[higher[task]]
+    else:
+        improve = cur[lower[task]] < prev[lower[task]]
+    return (current, True) if improve else (best, False)
