@@ -82,6 +82,26 @@ def build_backbone(p, mesh=None, expert_axis: Optional[str] = "expert"):
         return backbone, True
     if name in ("VisionTransformer", "VisionTransformer_dense"):
         return VisionTransformer(**common), False
+
+    # CNN backbones (the reference main.py path, common_config.py:124-170)
+    dilated = bool(kw.get("dilated", False))
+    if name == "resnet18":
+        from m3vit_tpu.models.resnet import resnet18
+
+        return resnet18(dilated=dilated, dtype=dtype), False
+    if name == "resnet50":
+        from m3vit_tpu.models.resnet import resnet50
+
+        return resnet50(dilated=dilated, dtype=dtype), False
+    if name == "hrnet_w18":
+        from m3vit_tpu.models.hrnet import hrnet_w18
+
+        return hrnet_w18(dtype=dtype), False
+    if name in ("mobilenetv3", "mobilenetv3_large", "mobilenetv3_small"):
+        from m3vit_tpu.models.mobilenetv3 import MobileNetV3
+
+        variant = "small" if name.endswith("small") else "large"
+        return MobileNetV3(variant=variant, dtype=dtype), False
     raise NotImplementedError(f"backbone {name}")
 
 
@@ -100,6 +120,14 @@ def build_head(p, task_name: str, num_output: int):
             conv3x3_conv1x1=bool(kw.get("conv3x3_conv1x1", True)),
             dtype=dtype,
         )
+    if name == "deeplab":
+        from m3vit_tpu.models.cnn_heads import DeepLabHead
+
+        return DeepLabHead(num_classes=num_output, dtype=dtype)
+    if name == "hrnet":
+        from m3vit_tpu.models.cnn_heads import HighResolutionHead
+
+        return HighResolutionHead(num_classes=num_output, dtype=dtype)
     raise NotImplementedError(f"head {name}")
 
 
