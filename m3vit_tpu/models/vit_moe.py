@@ -26,6 +26,7 @@ from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from m3vit_tpu.models.vit import (
@@ -41,6 +42,65 @@ from m3vit_tpu.moe.dispatch import MoEFfnParams, moe_ffn
 from m3vit_tpu.moe.gating import GateOutput, gate_init, moe_aux_loss, noisy_vmoe_gate
 
 Dtype = Any
+
+
+# semantic-class -> expert-group table for sem_force routing
+# (reference: custom_moe_layer.py:112-113 — 8 groups over NYUD-40 classes)
+SEM_FORCE_GROUPS = [
+    [0], [1, 17, 18, 19, 20], [2, 12, 13, 14, 15, 16], [3, 9, 10, 11],
+    [4, 5], [6, 7, 8, 38], [21, 22, 23, 24, 25, 26, 39],
+    [27, 28, 29, 30, 31, 32, 33, 34, 35, 36, 37],
+]
+
+
+def patch_majority_labels(sem: jnp.ndarray, patch_size: int,
+                          num_classes: int = 41) -> jnp.ndarray:
+    """Per-patch majority class with a 40% dominance threshold, else 255
+    (reference get_groundtruth_sem, ckpt/vision_transformer_moe.py:762-778)."""
+    if sem.ndim == 4:
+        sem = sem[..., 0]
+    B, H, W = sem.shape
+    P = patch_size
+    h, w = H // P, W // P
+    patches = sem[:, : h * P, : w * P].reshape(B, h, P, w, P)
+    patches = patches.transpose(0, 1, 3, 2, 4).reshape(B, h, w, P * P)
+    labels = jnp.clip(patches.astype(jnp.int32), 0, num_classes)  # 255->clamp
+    # count only non-255 pixels per class
+    valid = patches != 255
+    oh = jax.nn.one_hot(labels, num_classes + 1, dtype=jnp.int32)
+    oh = oh * valid[..., None]
+    counts = oh.sum(axis=3)  # [B, h, w, C+1]
+    best = counts.argmax(-1)
+    best_count = counts.max(-1)
+    dominant = best_count > int(0.4 * P * P)
+    return jnp.where(dominant, best, 255)
+
+
+def build_sem_force_routing(
+    patch_labels: jnp.ndarray,  # [B, n_patches] int (255 = no force)
+    top_k: int,
+    num_prefix: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Map forced classes to expert pairs (group j -> experts [2j, 2j+1]
+    tiled to top_k); prefix tokens never forced
+    (reference custom_moe_layer.py:225-241)."""
+    lut = np.full(256, -1, np.int32)
+    for j, classes in enumerate(SEM_FORCE_GROUPS):
+        for c in classes:
+            lut[c] = j
+    lut = jnp.asarray(lut)
+    g = jnp.take(lut, jnp.clip(patch_labels, 0, 255))  # [B, n]
+    forced = g >= 0
+    base = jnp.where(forced, 2 * g, 0)
+    pattern = jnp.asarray([i % 2 for i in range(top_k)], jnp.int32)
+    idx = base[..., None] + pattern[None, None, :]  # [B, n, K]
+
+    B, n = patch_labels.shape
+    prefix_idx = jnp.zeros((B, num_prefix, top_k), jnp.int32)
+    prefix_mask = jnp.zeros((B, num_prefix), bool)
+    full_idx = jnp.concatenate([prefix_idx, idx], axis=1)
+    full_mask = jnp.concatenate([prefix_mask, forced], axis=1)
+    return full_idx, full_mask
 
 
 def _expert_kernel_init(key, shape, dtype=jnp.float32):
@@ -87,6 +147,11 @@ class MoEMlp(nn.Module):
     mesh: Any = None
     expert_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
+    # research knobs (reference custom_moe_layer.py:104-120, 221-246)
+    expert_prune: bool = False
+    prune_threshold: float = 0.1
+    regu_experts_fromtask: bool = False
+    num_experts_pertask: int = -1
 
     @nn.compact
     def __call__(
@@ -95,6 +160,9 @@ class MoEMlp(nn.Module):
         task_id: Optional[jnp.ndarray],  # traced int32 scalar or None
         task_feature: Optional[jnp.ndarray],  # [task_dim] or None
         train: bool = False,
+        expert_mask: Optional[jnp.ndarray] = None,  # [E] bool, select_idx-like
+        sem_force_idx: Optional[jnp.ndarray] = None,  # [B, N, K] forced ids
+        sem_force_mask: Optional[jnp.ndarray] = None,  # [B, N] bool
     ) -> Tuple[jnp.ndarray, GateOutput]:
         B, N, C = x.shape
         E = self.num_experts
@@ -124,8 +192,26 @@ class MoEMlp(nn.Module):
             w_gate = jnp.take(w_gate_all, tid, axis=0)
         else:
             w_gate = self.param(
-                "w_gate", lambda k, s: gate_init(k, *s[1:]), (1, d_gate, E)
+                "w_gate",
+                lambda k, s: gate_init(k, s[1], s[2])[None],
+                (1, d_gate, E),
             )[0]
+
+        # per-task expert window: gate over num_experts_pertask columns
+        # starting at start_experts_id[task] (reference noisy_gate_vmoe:87-92
+        # + idx offset custom_moe_layer:244-246)
+        idx_offset = None
+        if self.regu_experts_fromtask and task_id is not None:
+            npt = self.num_experts_pertask
+            assert npt > 0 and self.num_tasks > 1
+            starts, s = [], 0
+            for i in range(self.num_tasks):
+                s = s + int(i * (E - npt) / (self.num_tasks - 1))
+                starts.append(s)
+            start = jnp.take(jnp.asarray(starts, jnp.int32),
+                             jnp.clip(task_id, 0, self.num_tasks - 1))
+            w_gate = jax.lax.dynamic_slice_in_dim(w_gate, start, npt, axis=1)
+            idx_offset = start
 
         rng = self.make_rng("gate_noise") if train else None
         gate = noisy_vmoe_gate(
@@ -135,7 +221,23 @@ class MoEMlp(nn.Module):
             noise_std=self.vmoe_noisy_std,
             train=train,
             rng=rng,
+            expert_mask=expert_mask,
         )
+
+        top_idx = gate.top_k_indices.reshape(B, N, self.top_k)
+        top_gates = gate.top_k_gates.reshape(B, N, self.top_k)
+
+        if self.expert_prune:
+            # zero scores below threshold (reference custom_moe_layer:221-224)
+            top_gates = jnp.where(top_gates > self.prune_threshold, top_gates,
+                                  0.0)
+        if idx_offset is not None:
+            top_idx = top_idx + idx_offset
+        if sem_force_idx is not None:
+            # semantic-class forced routing (reference custom_moe_layer:225-241)
+            m = sem_force_mask[..., None]
+            top_idx = jnp.where(m, sem_force_idx, top_idx)
+            top_gates = jnp.where(m, 0.5, top_gates)
 
         params = MoEFfnParams(
             w1=self.param("experts_w1", _expert_kernel_init, (E, C, self.d_hidden)),
@@ -151,8 +253,8 @@ class MoEMlp(nn.Module):
 
         out = moe_ffn(
             x,
-            gate.top_k_indices.reshape(B, N, self.top_k),
-            gate.top_k_gates.reshape(B, N, self.top_k),
+            top_idx,
+            top_gates,
             params,
             mesh=self.mesh,
             expert_axis=self.expert_axis,
@@ -188,6 +290,10 @@ class MoEBlock(nn.Module):
     mesh: Any = None
     expert_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
+    expert_prune: bool = False
+    prune_threshold: float = 0.1
+    regu_experts_fromtask: bool = False
+    num_experts_pertask: int = -1
 
     @nn.compact
     def __call__(
@@ -196,6 +302,9 @@ class MoEBlock(nn.Module):
         task_id: Optional[jnp.ndarray],
         task_feature: Optional[jnp.ndarray],
         train: bool = False,
+        expert_mask: Optional[jnp.ndarray] = None,
+        sem_force_idx: Optional[jnp.ndarray] = None,
+        sem_force_mask: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
         dp_rng = None
         if self.drop_path_rate > 0 and train:
@@ -223,8 +332,13 @@ class MoEBlock(nn.Module):
             mesh=self.mesh,
             expert_axis=self.expert_axis,
             dtype=self.dtype,
+            expert_prune=self.expert_prune,
+            prune_threshold=self.prune_threshold,
+            regu_experts_fromtask=self.regu_experts_fromtask,
+            num_experts_pertask=self.num_experts_pertask,
             name="mlp",
-        )(h.astype(self.dtype), task_id, task_feature, train)
+        )(h.astype(self.dtype), task_id, task_feature, train,
+          expert_mask, sem_force_idx, sem_force_mask)
         if self.drop > 0 and train:
             moe_out = nn.Dropout(self.drop, deterministic=False)(moe_out)
         x = x + drop_path(moe_out, self.drop_path_rate, train, dp_rng)
@@ -277,6 +391,12 @@ class VisionTransformerMoE(nn.Module):
     expert_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
     use_checkpointing: bool = True
+    # research knobs
+    expert_prune: bool = False
+    prune_threshold: float = 0.1
+    regu_experts_fromtask: bool = False
+    num_experts_pertask: int = -1
+    sem_force: bool = False
 
     @nn.compact
     def __call__(
@@ -284,6 +404,8 @@ class VisionTransformerMoE(nn.Module):
         x: jnp.ndarray,  # [B, H, W, 3]
         task_id: Optional[jnp.ndarray] = None,
         train: bool = False,
+        sem: Optional[jnp.ndarray] = None,  # [B, H, W(, 1)] semseg labels
+        expert_mask: Optional[jnp.ndarray] = None,  # [E] bool routing mask
     ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
         B = x.shape[0]
         num_patches = (self.img_size[0] // self.patch_size) * (
@@ -340,6 +462,16 @@ class VisionTransformerMoE(nn.Module):
             dense_cls = nn.remat(DenseBlock, static_argnums=(2,))
             moe_cls = nn.remat(MoEBlock, static_argnums=(4,))
 
+        # semantic-class forced routing (reference custom_moe_layer.py:225-241
+        # over patch-majority labels, vision_transformer_moe.py:762-778)
+        sem_force_idx = sem_force_mask = None
+        if self.sem_force and sem is not None:
+            patch_sem = patch_majority_labels(sem, self.patch_size)  # [B,h,w]
+            patch_sem = patch_sem.reshape(B, -1)
+            sem_force_idx, sem_force_mask = build_sem_force_routing(
+                patch_sem, self.moe_top_k, num_extra
+            )
+
         total_cv = jnp.asarray(0.0, jnp.float32)
         agg = None
         for i in range(self.depth):
@@ -363,8 +495,14 @@ class VisionTransformerMoE(nn.Module):
                     capacity_factor=self.capacity_factor,
                     eval_capacity_factor=self.eval_capacity_factor,
                     mesh=self.mesh, expert_axis=self.expert_axis,
-                    dtype=self.dtype, name=f"block_{i}",
-                )(tokens, task_id, task_feature, train)
+                    dtype=self.dtype,
+                    expert_prune=self.expert_prune,
+                    prune_threshold=self.prune_threshold,
+                    regu_experts_fromtask=self.regu_experts_fromtask,
+                    num_experts_pertask=self.num_experts_pertask,
+                    name=f"block_{i}",
+                )(tokens, task_id, task_feature, train, expert_mask,
+                  sem_force_idx, sem_force_mask)
                 total_cv = total_cv + cv
                 agg = (
                     stats

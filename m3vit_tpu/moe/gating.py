@@ -55,10 +55,14 @@ def noisy_vmoe_gate(
     train: bool,
     rng: Optional[jax.Array] = None,
     no_noise: bool = False,
+    expert_mask: Optional[jnp.ndarray] = None,
 ) -> GateOutput:
     """NoisyGate_VMoE forward (reference: noisy_gate_vmoe.py:80-264).
 
     gate_inp: [T, d_gate]; w_gate: [d_gate, E]. `train` must be static.
+    expert_mask: optional [E] bool — routing restricted to True experts (the
+    reference's `select_idx` column-slicing, noisy_gate_vmoe.py:170-172,
+    expressed as a -inf logit mask so expert ids stay global).
     """
     num_experts = w_gate.shape[-1]
     clean_logits = gate_inp.astype(jnp.float32) @ w_gate.astype(jnp.float32)
@@ -73,6 +77,10 @@ def noisy_vmoe_gate(
         noisy_logits = clean_logits + noise * noise_stddev
     else:
         noisy_logits = clean_logits
+
+    if expert_mask is not None:
+        neg = jnp.asarray(-1e30, jnp.float32)
+        noisy_logits = jnp.where(expert_mask[None, :], noisy_logits, neg)
 
     probs = jax.nn.softmax(noisy_logits, axis=-1)
     m = min(top_k + 1, num_experts)
