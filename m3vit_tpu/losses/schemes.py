@@ -71,3 +71,64 @@ def multi_task_loss(
 
     out["total"] = total
     return out
+
+
+def _resize_to(pred, gt):
+    import jax
+
+    b, h, w, c = pred.shape
+    th, tw = gt.shape[1], gt.shape[2]
+    if (h, w) == (th, tw):
+        return pred
+    return jax.image.resize(pred, (b, th, tw, c), "bilinear")
+
+
+def padnet_loss(
+    pred: Dict[str, jnp.ndarray],
+    gt: Dict[str, jnp.ndarray],
+    tasks: List[str],
+    auxilary_tasks: List[str],
+    loss_fns: Dict[str, Callable],
+    loss_weights: Dict[str, float],
+) -> Dict[str, jnp.ndarray]:
+    """Deep-supervised initial predictions + final outputs
+    (reference loss_schemes.py:118-163)."""
+    out: Dict[str, jnp.ndarray] = {}
+    total = jnp.asarray(0.0, jnp.float32)
+    for task in auxilary_tasks:
+        l = loss_fns[task](_resize_to(pred[f"initial_{task}"], gt[task]),
+                           gt[task])
+        out[f"deepsup_{task}"] = l
+        total = total + loss_weights[task] * l
+    for task in tasks:
+        l = loss_fns[task](pred[task], gt[task])
+        out[task] = l
+        total = total + loss_weights[task] * l
+    out["total"] = total
+    return out
+
+
+def mtinet_loss(
+    pred: Dict,
+    gt: Dict[str, jnp.ndarray],
+    tasks: List[str],
+    auxilary_tasks: List[str],
+    loss_fns: Dict[str, Callable],
+    loss_weights: Dict[str, float],
+) -> Dict[str, jnp.ndarray]:
+    """4-scale deep supervision + final outputs
+    (reference loss_schemes.py:215-247)."""
+    out: Dict[str, jnp.ndarray] = {}
+    total = jnp.asarray(0.0, jnp.float32)
+    for scale in range(4):
+        ps = pred["deep_supervision"][f"scale_{scale}"]
+        for task in auxilary_tasks:
+            l = loss_fns[task](_resize_to(ps[task], gt[task]), gt[task])
+            out[f"scale_{scale}_{task}"] = l
+            total = total + loss_weights[task] * l
+    for task in tasks:
+        l = loss_fns[task](pred[task], gt[task])
+        out[task] = l
+        total = total + loss_weights[task] * l
+    out["total"] = total
+    return out

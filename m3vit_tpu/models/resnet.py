@@ -1,10 +1,11 @@
-"""ResNet backbones with optional dilation (flax.linen, NHWC).
+"""ResNet backbones with optional dilation and stage-wise access (flax, NHWC).
 
 Capability match for the reference's resnet.py + resnet_dilated.py:
 ResNet-18 (BasicBlock) / ResNet-50 (Bottleneck); ResnetDilated converts the
 last two stages to dilated convs for output stride 8 (reference:
-models/backbones/resnet_dilated.py:9-48 — stride-2 convs become stride 1 with
-dilation d/2, other 3x3 convs get dilation d).
+models/backbones/resnet_dilated.py:9-48).  Stage-wise entry points
+(forward_stem / forward_stage / *_except_last_block) support the MTL methods
+(cross-stitch, NDDR, MTAN; reference mtl_methods/*.py call forward_stage).
 """
 
 from __future__ import annotations
@@ -79,52 +80,74 @@ class Bottleneck(nn.Module):
 
 
 class ResNet(nn.Module):
-    """Feature extractor (no pool/fc); returns the stage-4 feature map."""
+    """Feature extractor (no pool/fc); __call__ returns the stage-4 map."""
 
     block: str = "basic"  # 'basic' | 'bottleneck'
     layers: Sequence[int] = (2, 2, 2, 2)
-    dilate_scale: int = 0  # 0 = no dilation; 8 or 16 like ResnetDilated
+    dilate_scale: int = 0  # 0 = none; 8 or 16 like ResnetDilated
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, task_id=None, train=False):
+    @property
+    def stage_channels(self):
+        exp = 1 if self.block == "basic" else 4
+        return [64 * exp, 128 * exp, 256 * exp, 512 * exp]
+
+    def setup(self):
         blk = BasicBlock if self.block == "basic" else Bottleneck
         expansion = 1 if self.block == "basic" else 4
-
-        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=self.dtype, name="conv1")(
-            x.astype(self.dtype))
-        h = jax.nn.relu(_bn(train, "bn1")(h))
-        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-
         widths = (64, 128, 256, 512)
-        # stage dilation per ResnetDilated: scale 8 -> layer3 d2, layer4 d4
         dil = [1, 1, 1, 1]
         strides = [1, 2, 2, 2]
         if self.dilate_scale == 8:
-            dil = [1, 1, 2, 4]
-            strides = [1, 2, 1, 1]
+            dil, strides = [1, 1, 2, 4], [1, 2, 1, 1]
         elif self.dilate_scale == 16:
-            dil = [1, 1, 1, 2]
-            strides = [1, 2, 2, 1]
+            dil, strides = [1, 1, 1, 2], [1, 2, 2, 1]
 
+        self.conv1 = nn.Conv(64, (7, 7), strides=(2, 2),
+                             padding=((3, 3), (3, 3)), use_bias=False,
+                             dtype=self.dtype, name="conv1")
+        self.bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
+                                dtype=jnp.float32, name="bn1")
+
+        stages = []
         in_ch = 64
         for si, (w, n) in enumerate(zip(widths, self.layers)):
+            blocks = []
             for bi in range(n):
                 stride = strides[si] if bi == 0 else 1
-                # first conv of a converted stage keeps dilation d/2
                 d = dil[si]
-                if bi == 0 and d > 1:
-                    d_first = max(d // 2, 1)
-                else:
-                    d_first = d
+                d_eff = max(d // 2, 1) if (bi == 0 and d > 1) else d
                 need_ds = bi == 0 and (stride != 1 or in_ch != w * expansion)
-                h = blk(
-                    features=w, stride=stride, dilation=d_first if bi == 0 else d,
-                    downsample=need_ds, dtype=self.dtype,
-                    name=f"layer{si+1}_{bi}",
-                )(h, train)
+                blocks.append(
+                    blk(features=w, stride=stride, dilation=d_eff,
+                        downsample=need_ds, dtype=self.dtype,
+                        name=f"layer{si+1}_{bi}")
+                )
                 in_ch = w * expansion
+            stages.append(tuple(blocks))
+        self.stages = tuple(stages)
+
+    def forward_stem(self, x, train=False):
+        h = self.conv1(x.astype(self.dtype))
+        h = jax.nn.relu(self.bn1(h, use_running_average=not train))
+        return nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+    def forward_stage(self, x, stage: int, train=False, skip_last: bool = False):
+        """Run stage `stage` (0-based); optionally stop before the last block
+        (MTAN's forward_stage_except_last_block)."""
+        blocks = self.stages[stage]
+        upto = len(blocks) - 1 if skip_last else len(blocks)
+        for b in blocks[:upto]:
+            x = b(x, train)
+        return x
+
+    def forward_stage_last_block(self, x, stage: int, train=False):
+        return self.stages[stage][-1](x, train)
+
+    def __call__(self, x, task_id=None, train=False):
+        h = self.forward_stem(x, train)
+        for si in range(4):
+            h = self.forward_stage(h, si, train)
         return h
 
 
