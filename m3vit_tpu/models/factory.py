@@ -109,6 +109,7 @@ def build_head(p, task_name: str, num_output: int):
     name = p.get("head", "VisionTransformerUpHead")
     kw = dict(p.get("head_kwargs") or {})
     dtype = _DTYPES[p.get("compute_dtype", "bfloat16")]
+    tam = bool((p.get("model_kwargs") or {}).get("tam", False))
     if name == "VisionTransformerUpHead":
         return VisionTransformerUpHead(
             img_size=_img_size(kw),
@@ -118,6 +119,7 @@ def build_head(p, task_name: str, num_output: int):
             num_conv=int(kw.get("num_conv", 4)),
             num_upsample_layer=int(kw.get("num_upsampe_layer", kw.get("num_upsample_layer", 4))),
             conv3x3_conv1x1=bool(kw.get("conv3x3_conv1x1", True)),
+            return_tam_features=tam,
             dtype=dtype,
         )
     if name == "deeplab":
@@ -157,10 +159,18 @@ def build_model(p, mesh=None, expert_axis: Optional[str] = "expert"):
         return TaskConditionedMultiTaskModel(
             backbone=backbone, decoders=decoders, tasks=tasks
         )
+    mk = p.get("model_kwargs") or {}
+    tam = bool(mk.get("tam", False))
+    tam_levels = tuple(
+        bool(mk.get(f"tam_level{i}", True)) for i in range(3)
+    )
     return MultiTaskModel(
         backbone=backbone,
         decoders=decoders,
         tasks=tasks,
         multi_gate=bool(p.get("multi_gate", False)),
         backbone_returns_tuple=returns_tuple,
+        tam=tam,
+        tam_levels=tam_levels,
+        num_outputs={t.name: t.num_output for t in p["TASKS"]},
     )

@@ -34,10 +34,11 @@ class VisionTransformerUpHead(nn.Module):
     num_conv: int = 4
     num_upsample_layer: int = 4
     conv3x3_conv1x1: bool = True
+    return_tam_features: bool = False  # reference vit_up_head.py:194-213
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False):
         h = self.img_size[0] // self.patch_size
         w = self.img_size[1] // self.patch_size
 
@@ -77,14 +78,20 @@ class VisionTransformerUpHead(nn.Module):
         x = conv(256, 3, "conv_1")(x)
         x = norm("syncbn_fc_1")(x)
         x = jax.nn.relu(x)
+        tam_f0 = x
         x = resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2))
         x = conv(256, 3, "conv_2")(x)
         x = norm("syncbn_fc_2")(x)
         x = jax.nn.relu(x)
+        tam_f1 = x
         x = resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2))
         x = conv(256, 3, "conv_3")(x)
         x = norm("syncbn_fc_3")(x)
         x = jax.nn.relu(x)
+        tam_f2 = x
         x = conv(self.num_classes, 1, "conv_4")(x)
         x = resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2))
-        return x.astype(jnp.float32)
+        x = x.astype(jnp.float32)
+        if self.return_tam_features and train:
+            return x, tam_f0, tam_f1, tam_f2
+        return x

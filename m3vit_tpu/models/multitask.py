@@ -50,6 +50,10 @@ class MultiTaskModel(nn.Module):
     tasks: List[str]
     multi_gate: bool = False
     backbone_returns_tuple: bool = True
+    # TAM task-attention fusion (reference models.py:165-213, 241-281)
+    tam: bool = False
+    tam_levels: Tuple[bool, bool, bool] = (True, True, True)
+    num_outputs: Optional[Dict[str, int]] = None
 
     def _run_backbone(self, x, task_id: Optional[int], train: bool):
         tid = None if task_id is None else jnp.asarray(task_id, jnp.int32)
@@ -58,6 +62,7 @@ class MultiTaskModel(nn.Module):
             return ret
         return ret, jnp.asarray(0.0, jnp.float32), {}
 
+    @nn.compact
     def __call__(
         self,
         x: jnp.ndarray,
@@ -77,6 +82,17 @@ class MultiTaskModel(nn.Module):
             )
             return out, cv, stats
 
+        use_tam = self.tam and train
+        deep: List[Dict[str, jnp.ndarray]] = [{}, {}, {}]
+
+        def decode(task, feats):
+            ret = self.decoders[task](feats, train=train)
+            if use_tam and isinstance(ret, tuple):
+                pred, f0, f1, f2 = ret
+                deep[0][task], deep[1][task], deep[2][task] = f0, f1, f2
+                return pred
+            return ret
+
         if self.multi_gate:
             # one backbone pass per task, each with its own router set
             for i, task in enumerate(self.tasks):
@@ -85,15 +101,26 @@ class MultiTaskModel(nn.Module):
                 stats = st if not stats else jax.tree.map(
                     lambda a, b: a + b, stats, st
                 )
-                out[task] = resize_bilinear(
-                    self.decoders[task](feats, train=train), out_size
-                )
+                out[task] = resize_bilinear(decode(task, feats), out_size)
         else:
             feats, total_cv, stats = self._run_backbone(x, None, train)
             for task in self.tasks:
-                out[task] = resize_bilinear(
-                    self.decoders[task](feats, train=train), out_size
-                )
+                out[task] = resize_bilinear(decode(task, feats), out_size)
+
+        if use_tam:
+            from m3vit_tpu.models.tam import TamModule
+
+            for lvl in range(3):
+                if not self.tam_levels[lvl] or not deep[lvl]:
+                    continue
+                tam_out = TamModule(
+                    tasks=tuple(self.tasks), input_channels=256,
+                    num_outputs=self.num_outputs, name=f"tam_model{lvl}",
+                )(deep[lvl], train=train)
+                for task in self.tasks:
+                    out[f"tam_level{lvl}_{task}"] = resize_bilinear(
+                        tam_out[task], out_size
+                    )
         return out, total_cv, stats
 
 
