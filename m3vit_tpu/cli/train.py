@@ -67,6 +67,9 @@ def parse_args(argv=None):
     ap.add_argument("--valBatch", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval", action="store_true", help="eval-only")
+    ap.add_argument("--pretrained", default=None,
+                    help="backbone params msgpack (pretrain export) or "
+                         "reference DeiT .pth to warm-start from")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--dev_test", action="store_true",
                     help="run one eval before training")
@@ -194,6 +197,14 @@ def run(args) -> Dict:
         state = shard_train_state(state, mesh)
         bsh = batch_sharding(mesh)
 
+    if args.pretrained:
+        state = state.replace(
+            params=load_pretrained_backbone(
+                state.params, args.pretrained, p
+            )
+        )
+        print(f"loaded pretrained backbone from {args.pretrained}")
+
     start_epoch = 0
     if args.resume or args.eval:
         restored, meta = restore_checkpoint(p["checkpoint_dir"], state)
@@ -277,6 +288,57 @@ def run(args) -> Dict:
         save_checkpoint(p["checkpoint_dir"], state, epoch)
 
     return {"best": best}
+
+
+def load_pretrained_backbone(params, path, p):
+    """Merge pretrained backbone weights into the param tree.
+
+    .msgpack -> our pretrain export (flax serialized backbone subtree);
+    .pth     -> reference/DeiT torch checkpoint via torch_interop (pos-embed
+                interpolated, dense MLPs upcycled into experts when needed).
+    """
+    import jax
+
+    from m3vit_tpu.utils.torch_interop import merge_into
+
+    template = params["backbone"]
+    if path.endswith(".msgpack"):
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            loaded = serialization.from_bytes(
+                jax.tree.map(lambda x: x, template), f.read()
+            )
+        merged, missing = merge_into(template, loaded)
+    else:
+        from m3vit_tpu.utils.torch_interop import (
+            deit_to_backbone_params,
+            load_torch_state_dict,
+        )
+
+        kw = p.get("backbone_kwargs") or {}
+        depth = int(kw.get("depth", 12))
+        embed = int(kw.get("embed_dim", 384))
+        ratio = float(kw.get("moe_mlp_ratio", p.get("moe_mlp_ratio", 1.0)))
+        grid = (
+            int(kw.get("img_size", [512, 512])[0]) // int(kw.get("patch_size", 16)),
+            int(kw.get("img_size", [512, 512])[1]) // int(kw.get("patch_size", 16)),
+        )
+        sd = load_torch_state_dict(path)
+        loaded = deit_to_backbone_params(
+            sd, depth=depth,
+            num_experts=int(p.get("moe_experts", 16)),
+            expert_hidden=int(embed * ratio),
+            top_k=int(p.get("moe_top_k", 4)),
+            target_grid=grid,
+        )
+        merged, missing = merge_into(template, loaded)
+    if missing:
+        print(f"[pretrained] kept random init for {len(missing)} tensors "
+              f"(e.g. {missing[:4]})")
+    new = dict(params)
+    new["backbone"] = merged
+    return new
 
 
 def _plain(d):

@@ -1,0 +1,218 @@
+"""ImageNet (or synthetic) MoE-ViT classification pretraining CLI.
+
+The pretrain/train.py equivalent (reference: pretrain/train.py + engine/):
+DeiT-style recipe — AdamW, cosine schedule with linear warmup, mixup/cutmix
+with label smoothing, model EMA, cv-loss weighting (moe_cv_weight).  Emits
+world-size-independent Orbax checkpoints directly loadable by the MTL
+trainer (the reference needs export_to_mtl.py to merge rank shards first;
+here the checkpoint is already global — see utils/checkpoint.py).
+
+Example (synthetic smoke):
+  python -m m3vit_tpu.pretrain.train --synthetic 4 --img_size 64 \
+      --embed_dim 64 --depth 2 --num_heads 4 --moe_experts 8 --epochs 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from m3vit_tpu.models.cls import MoEViTForClassification
+from m3vit_tpu.models.vit_moe import VisionTransformerMoE
+from m3vit_tpu.pretrain.mixup import (
+    mixup_cutmix,
+    one_hot_smooth,
+    soft_target_cross_entropy,
+)
+from m3vit_tpu.train.state import TrainState
+from m3vit_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser("m3vit_tpu ImageNet pretraining")
+    ap.add_argument("--data_dir", default=None, help="ImageFolder root")
+    ap.add_argument("--synthetic", type=int, default=0)
+    ap.add_argument("--output_dir", default="/tmp/m3vit_pretrain")
+    ap.add_argument("--img_size", type=int, default=224)
+    ap.add_argument("--num_classes", type=int, default=1000)
+    ap.add_argument("--embed_dim", type=int, default=384)
+    ap.add_argument("--depth", type=int, default=12)
+    ap.add_argument("--num_heads", type=int, default=6)
+    ap.add_argument("--moe_experts", type=int, default=16)
+    ap.add_argument("--moe_top_k", type=int, default=4)
+    ap.add_argument("--moe_mlp_ratio", type=float, default=1.0)
+    ap.add_argument("--moe_cv_weight", type=float, default=0.01)
+    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--warmup_epochs", type=int, default=5)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--weight_decay", type=float, default=0.05)
+    ap.add_argument("--smoothing", type=float, default=0.1)
+    ap.add_argument("--mixup", type=float, default=0.8)
+    ap.add_argument("--cutmix", type=float, default=1.0)
+    ap.add_argument("--ema_decay", type=float, default=0.99996)
+    ap.add_argument("--drop_path", type=float, default=0.1)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--log_interval", type=int, default=50)
+    return ap.parse_args(argv)
+
+
+def synthetic_loader(args) -> Tuple[Iterator, int]:
+    n = args.synthetic
+    rng = np.random.RandomState(0)
+    batches = [
+        (
+            rng.randn(args.batch_size, args.img_size, args.img_size, 3)
+            .astype(np.float32),
+            rng.randint(0, args.num_classes, args.batch_size),
+        )
+        for _ in range(n)
+    ]
+
+    def epochs(epoch):
+        yield from batches
+
+    return epochs, n
+
+
+def imagefolder_loader(args):
+    from m3vit_tpu.pretrain.data import ImageFolder, iterate_epoch
+
+    ds = ImageFolder(args.data_dir, args.img_size)
+    steps = len(ds) // args.batch_size
+
+    def epochs(epoch):
+        yield from iterate_epoch(ds, args.batch_size, epoch, args.seed)
+
+    return epochs, steps
+
+
+def build_model(args) -> MoEViTForClassification:
+    encoder = VisionTransformerMoE(
+        img_size=(args.img_size, args.img_size),
+        patch_size=16,
+        embed_dim=args.embed_dim,
+        depth=args.depth,
+        num_heads=args.num_heads,
+        drop_path_rate=args.drop_path,
+        moe_mlp_ratio=args.moe_mlp_ratio,
+        moe_experts=args.moe_experts,
+        moe_top_k=args.moe_top_k,
+        multi_gate=False,
+        num_tasks=1,
+        dtype=jnp.bfloat16,
+        use_checkpointing=True,
+    )
+    return MoEViTForClassification(
+        encoder=encoder, num_classes=args.num_classes
+    )
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
+    if args.synthetic:
+        loader, steps_per_epoch = synthetic_loader(args)
+    else:
+        loader, steps_per_epoch = imagefolder_loader(args)
+
+    model = build_model(args)
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, args.warmup_epochs * steps_per_epoch,
+        args.epochs * steps_per_epoch,
+    )
+    tx = optax.adamw(schedule, weight_decay=args.weight_decay)
+
+    sample_x = jnp.zeros((2, args.img_size, args.img_size, 3))
+    variables = model.init(
+        {"params": jax.random.key(args.seed),
+         "gate_noise": jax.random.key(1)},
+        sample_x, train=False,
+    )
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx,
+        batch_stats=variables.get("batch_stats", {}),
+    )
+    ema_params = state.params
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    print(f"pretrain model: {n_params/1e6:.2f}M params, "
+          f"{steps_per_epoch} steps/epoch")
+
+    start_epoch = 0
+    if args.resume:
+        restored, meta = restore_checkpoint(
+            os.path.join(args.output_dir, "checkpoint"), state
+        )
+        if restored is not None:
+            state = restored
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            print(f"resumed at epoch {start_epoch}")
+
+    @jax.jit
+    def train_step(state, ema_params, images, labels, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        r_mix, r_gate, r_drop = jax.random.split(rng, 3)
+        if args.mixup > 0 or args.cutmix > 0:
+            images, targets = mixup_cutmix(
+                r_mix, images, labels, args.num_classes,
+                args.mixup, args.cutmix, args.smoothing,
+            )
+        else:
+            targets = one_hot_smooth(labels, args.num_classes, args.smoothing)
+
+        def loss_fn(params):
+            logits, cv = model.apply(
+                {"params": params}, images, train=True,
+                rngs={"gate_noise": r_gate, "dropout": r_drop},
+            )
+            loss = soft_target_cross_entropy(logits, targets)
+            return loss + args.moe_cv_weight * cv, (loss, cv)
+
+        (total, (ce, cv)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        ema_params = jax.tree.map(
+            lambda e, p: e * args.ema_decay + p * (1 - args.ema_decay),
+            ema_params, state.params,
+        )
+        return state, ema_params, {"loss": ce, "cv": cv, "total": total}
+
+    @jax.jit
+    def eval_step(params, images, labels):
+        logits, _ = model.apply({"params": params}, images, train=False)
+        return (logits.argmax(-1) == labels).mean()
+
+    rng = jax.random.key(args.seed + 1)
+    for epoch in range(start_epoch, args.epochs):
+        t0 = time.time()
+        for it, (images, labels) in enumerate(loader(epoch)):
+            state, ema_params, m = train_step(
+                state, ema_params, jnp.asarray(images), jnp.asarray(labels),
+                rng,
+            )
+            if (it + 1) % args.log_interval == 0:
+                print(f"[epoch {epoch} it {it+1}] loss={float(m['loss']):.4f} "
+                      f"cv={float(m['cv']):.4f}")
+        print(f"[epoch {epoch}] {time.time()-t0:.1f}s "
+              f"loss={float(m['loss']):.4f}")
+        save_checkpoint(os.path.join(args.output_dir, "checkpoint"), state,
+                        epoch)
+        # EMA weights saved alongside for the MTL export
+        save_checkpoint(
+            os.path.join(args.output_dir, "ema"),
+            state.replace(params=ema_params), epoch,
+        )
+    return state
+
+
+if __name__ == "__main__":
+    main()
