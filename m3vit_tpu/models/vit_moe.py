@@ -163,15 +163,24 @@ class MoEMlp(nn.Module):
         expert_mask: Optional[jnp.ndarray] = None,  # [E] bool, select_idx-like
         sem_force_idx: Optional[jnp.ndarray] = None,  # [B, N, K] forced ids
         sem_force_mask: Optional[jnp.ndarray] = None,  # [B, N] bool
+        gate_inp_tokens: Optional[jnp.ndarray] = None,  # [B, N, C_g] decoupled
     ) -> Tuple[jnp.ndarray, GateOutput]:
         B, N, C = x.shape
         E = self.num_experts
 
-        d_gate = C
+        if gate_inp_tokens is not None:
+            # decoupled gate features (reference custom_moe_layer.py:166-167)
+            assert gate_inp_tokens.shape[:2] == (B, N), (
+                f"gate_inp tokens {gate_inp_tokens.shape} misaligned with {x.shape}"
+            )
+            c_gate = gate_inp_tokens.shape[-1]
+            gate_inp = gate_inp_tokens.reshape(-1, c_gate).astype(jnp.float32)
+            d_gate = c_gate
+        else:
+            gate_inp = x.reshape(-1, C).astype(jnp.float32)
+            d_gate = C
         if self.gate_task_specific_dim > 0 and not self.multi_gate:
-            d_gate = C + self.gate_task_specific_dim
-
-        gate_inp = x.reshape(-1, C).astype(jnp.float32)
+            d_gate = d_gate + self.gate_task_specific_dim
         if task_feature is not None:
             assert not self.multi_gate
             feat = jnp.broadcast_to(
@@ -305,6 +314,7 @@ class MoEBlock(nn.Module):
         expert_mask: Optional[jnp.ndarray] = None,
         sem_force_idx: Optional[jnp.ndarray] = None,
         sem_force_mask: Optional[jnp.ndarray] = None,
+        gate_inp_tokens: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
         dp_rng = None
         if self.drop_path_rate > 0 and train:
@@ -338,7 +348,7 @@ class MoEBlock(nn.Module):
             num_experts_pertask=self.num_experts_pertask,
             name="mlp",
         )(h.astype(self.dtype), task_id, task_feature, train,
-          expert_mask, sem_force_idx, sem_force_mask)
+          expert_mask, sem_force_idx, sem_force_mask, gate_inp_tokens)
         if self.drop > 0 and train:
             moe_out = nn.Dropout(self.drop, deterministic=False)(moe_out)
         x = x + drop_path(moe_out, self.drop_path_rate, train, dp_rng)
@@ -406,6 +416,7 @@ class VisionTransformerMoE(nn.Module):
         train: bool = False,
         sem: Optional[jnp.ndarray] = None,  # [B, H, W(, 1)] semseg labels
         expert_mask: Optional[jnp.ndarray] = None,  # [E] bool routing mask
+        gate_inp: Optional[jnp.ndarray] = None,  # [B, 1+N, C_g] decoupled gate
     ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
         B = x.shape[0]
         num_patches = (self.img_size[0] // self.patch_size) * (
@@ -502,7 +513,7 @@ class VisionTransformerMoE(nn.Module):
                     num_experts_pertask=self.num_experts_pertask,
                     name=f"block_{i}",
                 )(tokens, task_id, task_feature, train, expert_mask,
-                  sem_force_idx, sem_force_mask)
+                  sem_force_idx, sem_force_mask, gate_inp)
                 total_cv = total_cv + cv
                 agg = (
                     stats
