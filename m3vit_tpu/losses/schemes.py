@@ -50,6 +50,14 @@ def multi_task_loss(
     out: Dict[str, jnp.ndarray] = {}
     total = jnp.asarray(0.0, jnp.float32)
 
+    # plain tam_<task> branch (reference: loss_schemes.py:44-61, JTRL path)
+    if f"tam_{tasks[0]}" in pred:
+        for task in tasks:
+            l = loss_fns[task](pred[f"tam_{task}"], gt[task])
+            l = jnp.nan_to_num(l, nan=0.0)
+            out[f"tam_{task}"] = l
+            total = total + loss_weights[task] * l
+
     # TAM deep-supervision branches (reference: loss_schemes.py:63-93)
     for level in (0, 1, 2):
         key0 = f"tam_level{level}_{tasks[0]}"

@@ -133,9 +133,118 @@ def build_head(p, task_name: str, num_output: int):
     raise NotImplementedError(f"head {name}")
 
 
+def _build_mtl_method(p, model_name: str, mesh=None):
+    """MTL-method composition (reference common_config.py:497-567)."""
+    tasks = [t.name for t in p["TASKS"]]
+    aux = [t.name for t in p.get("AUXILARY_TASKS", p["TASKS"])]
+    num_outputs = {t.name: t.num_output for t in p["ALL_TASKS"]}
+    dtype = _DTYPES[p.get("compute_dtype", "bfloat16")]
+    kw = dict(p.get("backbone_kwargs") or {})
+    dilated = bool(kw.get("dilated", True))
+
+    def resnet_bb():
+        from m3vit_tpu.models.resnet import resnet18, resnet50
+
+        name = p.get("backbone", "resnet18")
+        return (resnet50 if "50" in str(name) else resnet18)(
+            dilated=dilated, dtype=dtype
+        )
+
+    if model_name in ("cross_stitch", "nddr_cnn"):
+        from m3vit_tpu.models.mtl_methods import CrossStitchNetwork, NDDRCNN
+
+        bb = resnet_bb()
+        channels = bb.stage_channels
+        heads = {t: build_head(p, t, num_outputs[t]) for t in tasks}
+        cls = CrossStitchNetwork if model_name == "cross_stitch" else NDDRCNN
+        return cls(
+            backbones={t: resnet_bb() for t in tasks}, heads=heads,
+            tasks=tasks, channels=channels,
+        )
+    if model_name == "mtan":
+        from m3vit_tpu.models.mtl_methods import MTAN
+
+        bb = resnet_bb()
+        ds = (True, False, False, False) if dilated else (True, True, True, False)
+        return MTAN(
+            backbone=bb,
+            heads={t: build_head(p, t, num_outputs[t]) for t in tasks},
+            tasks=tasks, channels=bb.stage_channels, downsample=ds,
+        )
+    if model_name == "padnet":
+        from m3vit_tpu.models.mtl_methods import PADNet
+
+        return PADNet(backbone=resnet_bb(), tasks=tasks, auxilary_tasks=aux,
+                      num_outputs=num_outputs)
+    if model_name == "mti_net":
+        from m3vit_tpu.models.cnn_heads import HighResolutionHead
+        from m3vit_tpu.models.hrnet import hrnet_w18
+        from m3vit_tpu.models.mtl_methods import MTINet
+
+        heads = {t: HighResolutionHead(num_classes=num_outputs[t], dtype=dtype)
+                 for t in tasks}
+        return MTINet(backbone=hrnet_w18(dtype=dtype), heads=heads,
+                      tasks=tasks, auxilary_tasks=aux, num_outputs=num_outputs)
+    if model_name in ("papnet_vit", "jtrl"):
+        from m3vit_tpu.models.mtl_methods import JTRL, PAPNetViT
+
+        backbone, _ = build_backbone(p, mesh, None)
+        embed = int(kw.get("embed_dim", 384))
+        img_size = _img_size(kw)
+        patch = int(kw.get("patch_size", 16))
+        if model_name == "papnet_vit":
+            return PAPNetViT(backbone=backbone, tasks=tasks,
+                             auxilary_tasks=aux, num_outputs=num_outputs,
+                             embed_dim=embed, img_size=img_size,
+                             patch_size=patch)
+        return JTRL(backbone=backbone, tasks=tasks, auxilary_tasks=aux,
+                    num_outputs=num_outputs, embed_dim=embed,
+                    img_size=img_size, patch_size=patch,
+                    tam=bool((p.get("model_kwargs") or {}).get("tam", False)))
+    raise NotImplementedError(f"model {model_name}")
+
+
 def build_model(p, mesh=None, expert_axis: Optional[str] = "expert"):
     """Return the composed model for config p (reference get_model,
     common_config.py:468-567)."""
+    model_name = p.get("model", "baseline")
+    if model_name in ("cross_stitch", "nddr_cnn", "mtan", "padnet", "mti_net",
+                      "papnet_vit", "jtrl"):
+        return _build_mtl_method(p, model_name, mesh)
+
+    if p["backbone"] in ("TokenVisionTransformer_moe", "token_moe"):
+        from m3vit_tpu.models.token_moe import (
+            TokenMultiTaskModel,
+            TokenVisionTransformerMoE,
+        )
+
+        kw = dict(p.get("backbone_kwargs") or {})
+        dtype = _DTYPES[p.get("compute_dtype", "bfloat16")]
+        tasks = [t.name for t in p["TASKS"]]
+        backbone = TokenVisionTransformerMoE(
+            img_size=_img_size(kw), patch_size=int(kw.get("patch_size", 16)),
+            embed_dim=int(kw.get("embed_dim", 384)),
+            depth=int(kw.get("depth", 12)),
+            num_heads=int(kw.get("num_heads", 6)),
+            mlp_ratio=float(kw.get("mlp_ratio", 4.0)),
+            moe_mlp_ratio=float(kw.get("moe_mlp_ratio", 1.0)),
+            moe_experts=int(p.get("moe_experts", 16)),
+            moe_top_k=int(p.get("moe_top_k", 4)),
+            multi_gate=bool(p.get("multi_gate", False)),
+            num_tasks=len(tasks),
+            gate_task_specific_dim=int(p.get("gate_task_specific_dim", 64)),
+            share_gamma=float(p.get("share_gamma", 0.5)),
+            bootstrap_share_gamma=float(p.get("bootstrap_share_gamma", 0.3)),
+            share_reg_lambda=float(p.get("share_reg_lambda", 0.01)),
+            capacity_factor=float(p.get("moe_capacity_factor", 2.0)),
+            mesh=mesh, expert_axis=expert_axis, dtype=dtype,
+            use_checkpointing=bool(p.get("use_checkpointing", False)),
+        )
+        decoders = {t.name: build_head(p, t.name, t.num_output)
+                    for t in p["TASKS"]}
+        return TokenMultiTaskModel(backbone=backbone, decoders=decoders,
+                                   tasks=tasks)
+
     backbone, returns_tuple = build_backbone(p, mesh, expert_axis)
     tasks = [t.name for t in p["TASKS"]]
     decoders = {

@@ -445,3 +445,185 @@ class MTINet(nn.Module):
                 self.heads[t](streams, train=train), img_size
             )
         return out, _zero_cv(), {}
+
+
+# ---------------------------------------------------------------------------
+# PAP-Net (ViT features) — affinity diffusion (reference mtl_methods/papnet.py)
+# ---------------------------------------------------------------------------
+class AffinityDiffusionModule(nn.Module):
+    """Task-affinity propagation: per-task pixel affinity matrices mixed by
+    learned per-task alphas, iterated diffusion, residual beta-mix
+    (reference papnet.py:81-148)."""
+
+    tasks: Sequence[str]
+    auxilary_tasks: Sequence[str]
+    iterations: int = 6
+    beta: float = 0.05
+
+    @nn.compact
+    def __call__(self, feats: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        ref = feats[f"features_{self.auxilary_tasks[0]}"]
+        B, H, W, C = ref.shape
+        N = H * W
+
+        # per-task affinity: softmax over rows of F F^T (flattened spatial)
+        affin = {}
+        for a in self.auxilary_tasks:
+            f = feats[f"features_{a}"].reshape(B, N, C).astype(jnp.float32)
+            affin[a] = jax.nn.softmax(
+                jnp.einsum("bnc,bmc->bnm", f, f), axis=2
+            )
+
+        out = {}
+        for task in self.tasks:
+            alphas = []
+            for t in self.auxilary_tasks:
+                init = 1.0 if t == task else 0.0
+                alphas.append(self.param(
+                    f"alpha_{task}_{t}",
+                    lambda k, s, v=init: jnp.full(s, v, jnp.float32), (1,),
+                ))
+            w = jax.nn.softmax(jnp.concatenate(alphas))
+            agg = sum(w[i] * affin[t]
+                      for i, t in enumerate(self.auxilary_tasks))
+            f = feats[f"features_{task}"].reshape(B, N, C).astype(jnp.float32)
+            y = f
+            for _ in range(self.iterations):
+                y = jnp.einsum("bnm,bmc->bnc", agg, y)
+            mixed = (1 - self.beta) * f + self.beta * y
+            out[f"aggregated_features_{task}"] = mixed.reshape(B, H, W, C)
+        return out
+
+
+class _ConvBNRelu(nn.Module):
+    features: int
+    kernel: int = 3
+    relu: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.Conv(self.features, (self.kernel, self.kernel), padding="SAME",
+                    dtype=self.dtype, name="conv")(x)
+        x = _bn(train, "bn")(x)
+        return jax.nn.relu(x) if self.relu else x
+
+
+def _up2(x):
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * 2, w * 2, c), "bilinear")
+
+
+def _tokens_to_2d(x, h, w):
+    if x.ndim == 3:
+        if x.shape[1] % 48 != 0:
+            x = x[:, x.shape[1] - h * w:]
+        b, hw, c = x.shape
+        return x.reshape(b, h, w, c)
+    return x
+
+
+class PAPNetViT(nn.Module):
+    """PAP-Net over ViT token features (reference PAPNet_vit, papnet.py:149-280)."""
+
+    backbone: nn.Module
+    tasks: Sequence[str]
+    auxilary_tasks: Sequence[str]
+    num_outputs: Dict[str, int]
+    embed_dim: int = 384
+    img_size: Sequence[int] = (512, 512)
+    patch_size: int = 16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, single_task=None):
+        img_size = x.shape[1:3]
+        h = self.img_size[0] // self.patch_size
+        w = self.img_size[1] // self.patch_size
+        out: Dict = {}
+
+        feats = self.backbone(x, train=train)
+        if isinstance(feats, tuple):
+            feats = feats[0]
+        feats = nn.LayerNorm(epsilon=1e-6, name="norm")(
+            _tokens_to_2d(feats.astype(jnp.float32), h, w)
+        )
+
+        upscale = {}
+        for task in self.auxilary_tasks:
+            f = _ConvBNRelu(self.embed_dim, name=f"layers0_{task}")(feats, train)
+            upscale[task] = _up2(f)
+
+        initial = InitialTaskPredictionModule(
+            tuple(self.auxilary_tasks), self.num_outputs, name="initial"
+        )(upscale, train)
+        for task in self.auxilary_tasks:
+            out[f"initial_{task}"] = initial[task]
+
+        agg = AffinityDiffusionModule(
+            tuple(self.tasks), tuple(self.auxilary_tasks),
+            name="affinity_diffusion",
+        )(initial)
+
+        for task in self.tasks:
+            f = agg[f"aggregated_features_{task}"]
+            f = _up2(_ConvBNRelu(256, name=f"layers1_{task}")(f, train))
+            f = _up2(_ConvBNRelu(256, name=f"layers2_{task}")(f, train))
+            f = _ConvBNRelu(256, name=f"layers3_{task}")(f, train)
+            f = nn.Conv(self.num_outputs[task], (1, 1),
+                        name=f"layers4_{task}")(f)
+            out[task] = resize_bilinear(_up2(f), img_size)
+        return out, _zero_cv(), {}
+
+
+# ---------------------------------------------------------------------------
+# JTRL (reference mtl_methods/Jtrl.py:143-269)
+# ---------------------------------------------------------------------------
+class JTRL(nn.Module):
+    """Joint task-recursive learning over ViT features: per-task conv/upsample
+    towers from shared tokens, optional TAM fusion emitting tam_<task> keys."""
+
+    backbone: nn.Module
+    tasks: Sequence[str]
+    auxilary_tasks: Sequence[str]
+    num_outputs: Dict[str, int]
+    embed_dim: int = 384
+    img_size: Sequence[int] = (512, 512)
+    patch_size: int = 16
+    tam: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, single_task=None):
+        img_size = x.shape[1:3]
+        h = self.img_size[0] // self.patch_size
+        w = self.img_size[1] // self.patch_size
+        out: Dict = {}
+
+        feats = self.backbone(x, train=train)
+        if isinstance(feats, tuple):
+            feats = feats[0]
+        feats = nn.LayerNorm(epsilon=1e-6, name="norm")(
+            _tokens_to_2d(feats.astype(jnp.float32), h, w)
+        )
+
+        deep = {}
+        for task in self.auxilary_tasks:
+            f = _up2(_ConvBNRelu(256, name=f"layers0_{task}")(feats, train))
+            f = _up2(_ConvBNRelu(256, name=f"layers1_{task}")(f, train))
+            f = _up2(_ConvBNRelu(256, name=f"layers2_{task}")(f, train))
+            f = _ConvBNRelu(256, name=f"layers3_{task}")(f, train)
+            if self.tam:
+                deep[task] = f
+            f = nn.Conv(self.num_outputs[task], (1, 1),
+                        name=f"layers4_{task}")(f)
+            out[task] = resize_bilinear(_up2(f), img_size)
+
+        if self.tam and train:
+            from m3vit_tpu.models.tam import TamModule
+
+            tam_out = TamModule(
+                tasks=tuple(self.tasks), input_channels=256,
+                num_outputs=self.num_outputs, name="tam_model",
+            )({t: deep[t] for t in self.tasks}, train=train)
+            for task in self.tasks:
+                out[f"tam_{task}"] = resize_bilinear(tam_out[task], img_size)
+        return out, _zero_cv(), {}
