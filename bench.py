@@ -45,9 +45,11 @@ def main():
         mesh = make_mesh(n_data=1, n_expert=n_chips)
         expert_axis = "expert"
 
+    # remat off: B=8/chip fits in v5e HBM without it, and full-block remat
+    # costs ~18% step time (perf matrix in git history)
     model, tasks = build_flagship(
         mesh=mesh, expert_axis=expert_axis, dtype=jnp.bfloat16,
-        use_checkpointing=True, capacity_factor=2.0,
+        use_checkpointing=False, capacity_factor=2.0,
     )
     batch = synthetic_batch(jax.random.key(0), tasks, batch_size, (512, 512))
 
