@@ -103,6 +103,33 @@ def build_sem_force_routing(
     return full_idx, full_mask
 
 
+def _regu_subimage_loss(patch_logits: jnp.ndarray, sub: int) -> jnp.ndarray:
+    """KL(subimage token routing || subimage top-2 consensus)
+    (reference noisy_gate_vmoe.py:139-162).  patch_logits: [B, Np, E] with a
+    square-ish grid; grouped into sub x sub windows."""
+    B, Np, E = patch_logits.shape
+    side_h = int(round(Np ** 0.5))
+    side_w = Np // side_h
+    usable_h = (side_h // sub) * sub
+    usable_w = (side_w // sub) * sub
+    if usable_h == 0 or usable_w == 0:  # grid smaller than one subimage
+        return jnp.asarray(0.0, jnp.float32)
+    g = patch_logits[:, : side_h * side_w].reshape(B, side_h, side_w, E)
+    g = g[:, :usable_h, :usable_w]
+    gh, gw = usable_h // sub, usable_w // sub
+    groups = g.reshape(B, gh, sub, gw, sub, E).transpose(0, 1, 3, 2, 4, 5)
+    groups = groups.reshape(B, gh * gw, sub * sub, E).astype(jnp.float32)
+
+    sums = groups.sum(axis=2)  # [B, G, E]
+    top2 = jax.lax.top_k(sums, 2)[0][..., -1:]  # threshold = 2nd value
+    gt_logit = jnp.where(sums >= top2, sums, 0.0)  # keep top-2 values
+    p = jax.nn.softmax(gt_logit, axis=-1)[:, :, None, :]  # target
+    logq = jax.nn.log_softmax(groups, axis=-1)
+    logp = jnp.log(jnp.clip(p, 1e-12))
+    kl = (p * (logp - logq)).sum(-1).mean(-1)  # batchmean over sub*sub tokens
+    return kl.sum() / (B * gh * gw)
+
+
 def _expert_kernel_init(key, shape, dtype=jnp.float32):
     """FMoELinear-style kaiming_uniform(a=sqrt(5)) on [E, d_in, d_out]:
     torch's 3-D fan_in = d_in * d_out, giving bound = 1/sqrt(d_in*d_out)."""
@@ -152,6 +179,10 @@ class MoEMlp(nn.Module):
     prune_threshold: float = 0.1
     regu_experts_fromtask: bool = False
     num_experts_pertask: int = -1
+    regu_sem: bool = False
+    regu_sem_num_classes: int = 40
+    regu_subimage: bool = False
+    subimage_tokens: int = 5
 
     @nn.compact
     def __call__(
@@ -164,7 +195,8 @@ class MoEMlp(nn.Module):
         sem_force_idx: Optional[jnp.ndarray] = None,  # [B, N, K] forced ids
         sem_force_mask: Optional[jnp.ndarray] = None,  # [B, N] bool
         gate_inp_tokens: Optional[jnp.ndarray] = None,  # [B, N, C_g] decoupled
-    ) -> Tuple[jnp.ndarray, GateOutput]:
+        sem_patch: Optional[jnp.ndarray] = None,  # [B, n_patches] labels
+    ):
         B, N, C = x.shape
         E = self.num_experts
 
@@ -272,7 +304,30 @@ class MoEMlp(nn.Module):
             dropout_rate=self.drop,
             dropout_rng=drop_rng,
         )
-        return out.astype(x.dtype), gate
+
+        # auxiliary gate-logit regularizers (reference noisy_gate_vmoe.py
+        # :95-162); both operate on patch-token clean logits
+        regu = {}
+        if (self.regu_sem or self.regu_subimage) and sem_patch is not None:
+            n_patch = sem_patch.shape[1]
+            logits3d = gate.clean_logits.reshape(B, N, E)
+            patch_logits = logits3d[:, N - n_patch:, :]  # drop prefix tokens
+            if self.regu_sem:
+                head = nn.Dense(self.regu_sem_num_classes, name="regu_sem_head")
+                prior = head(patch_logits)  # [B, Np, num_class]
+                lab = sem_patch.astype(jnp.int32)
+                valid = lab != 255
+                logp = jax.nn.log_softmax(prior, axis=-1)
+                nll = -jnp.take_along_axis(
+                    logp, jnp.where(valid, lab, 0)[..., None], axis=-1
+                )[..., 0]
+                regu["semregu_loss"] = jnp.where(valid, nll, 0.0).sum() /                     jnp.maximum(valid.sum(), 1)
+            if self.regu_subimage:
+                regu["regu_subimage_loss"] = _regu_subimage_loss(
+                    patch_logits, self.subimage_tokens
+                )
+
+        return out.astype(x.dtype), gate, regu
 
 
 class MoEBlock(nn.Module):
@@ -303,6 +358,8 @@ class MoEBlock(nn.Module):
     prune_threshold: float = 0.1
     regu_experts_fromtask: bool = False
     num_experts_pertask: int = -1
+    regu_sem: bool = False
+    regu_subimage: bool = False
 
     @nn.compact
     def __call__(
@@ -315,6 +372,7 @@ class MoEBlock(nn.Module):
         sem_force_idx: Optional[jnp.ndarray] = None,
         sem_force_mask: Optional[jnp.ndarray] = None,
         gate_inp_tokens: Optional[jnp.ndarray] = None,
+        sem_patch: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
         dp_rng = None
         if self.drop_path_rate > 0 and train:
@@ -328,7 +386,7 @@ class MoEBlock(nn.Module):
         x = x + drop_path(h, self.drop_path_rate, train, dp_rng)
 
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
-        moe_out, gate = MoEMlp(
+        moe_out, gate, regu = MoEMlp(
             num_experts=self.moe_experts,
             d_hidden=self.moe_hidden_dim,
             top_k=self.moe_top_k,
@@ -346,9 +404,12 @@ class MoEBlock(nn.Module):
             prune_threshold=self.prune_threshold,
             regu_experts_fromtask=self.regu_experts_fromtask,
             num_experts_pertask=self.num_experts_pertask,
+            regu_sem=self.regu_sem,
+            regu_subimage=self.regu_subimage,
             name="mlp",
         )(h.astype(self.dtype), task_id, task_feature, train,
-          expert_mask, sem_force_idx, sem_force_mask, gate_inp_tokens)
+          expert_mask, sem_force_idx, sem_force_mask, gate_inp_tokens,
+          sem_patch)
         if self.drop > 0 and train:
             moe_out = nn.Dropout(self.drop, deterministic=False)(moe_out)
         x = x + drop_path(moe_out, self.drop_path_rate, train, dp_rng)
@@ -364,6 +425,7 @@ class MoEBlock(nn.Module):
             "gate_token_count": jnp.asarray(probs.shape[0], jnp.float32),
             "expert_load_hist": (probs > 0).sum(0).astype(jnp.float32),
         }
+        stats.update(regu)
         return x, cv_loss, stats
 
 
@@ -407,6 +469,8 @@ class VisionTransformerMoE(nn.Module):
     regu_experts_fromtask: bool = False
     num_experts_pertask: int = -1
     sem_force: bool = False
+    regu_sem: bool = False
+    regu_subimage: bool = False
 
     @nn.compact
     def __call__(
@@ -476,12 +540,16 @@ class VisionTransformerMoE(nn.Module):
         # semantic-class forced routing (reference custom_moe_layer.py:225-241
         # over patch-majority labels, vision_transformer_moe.py:762-778)
         sem_force_idx = sem_force_mask = None
-        if self.sem_force and sem is not None:
+        sem_patch = None
+        if (self.sem_force or self.regu_sem or self.regu_subimage) \
+                and sem is not None:
             patch_sem = patch_majority_labels(sem, self.patch_size)  # [B,h,w]
             patch_sem = patch_sem.reshape(B, -1)
-            sem_force_idx, sem_force_mask = build_sem_force_routing(
-                patch_sem, self.moe_top_k, num_extra
-            )
+            sem_patch = patch_sem
+            if self.sem_force:
+                sem_force_idx, sem_force_mask = build_sem_force_routing(
+                    patch_sem, self.moe_top_k, num_extra
+                )
 
         total_cv = jnp.asarray(0.0, jnp.float32)
         agg = None
@@ -511,9 +579,11 @@ class VisionTransformerMoE(nn.Module):
                     prune_threshold=self.prune_threshold,
                     regu_experts_fromtask=self.regu_experts_fromtask,
                     num_experts_pertask=self.num_experts_pertask,
+                    regu_sem=self.regu_sem,
+                    regu_subimage=self.regu_subimage,
                     name=f"block_{i}",
                 )(tokens, task_id, task_feature, train, expert_mask,
-                  sem_force_idx, sem_force_mask, gate_inp)
+                  sem_force_idx, sem_force_mask, gate_inp, sem_patch)
                 total_cv = total_cv + cv
                 agg = (
                     stats

@@ -134,3 +134,38 @@ def test_sem_force_through_backbone():
     out, _, stats = model.apply(v, x, task_id=jnp.asarray(0), train=False,
                                 sem=sem)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_regu_sem_and_subimage_losses():
+    model = tiny(regu_sem=True, regu_subimage=True, multi_gate=False,
+                 num_tasks=2)
+    x = jax.random.normal(jax.random.key(7), (1, IMG, IMG, 3))
+    sem = jnp.zeros((1, IMG, IMG), jnp.float32)
+    v = _init(model, x, sem=sem)
+    _, _, stats = model.apply(
+        v, x, task_id=jnp.asarray(0), train=True, sem=sem,
+        rngs={"gate_noise": jax.random.key(8)},
+    )
+    assert "semregu_loss" in stats and "regu_subimage_loss" in stats
+    assert np.isfinite(float(stats["semregu_loss"]))
+    # 4x4 patch grid < 5x5 subimage window -> loss degenerates to 0
+    assert float(stats["regu_subimage_loss"]) == 0.0
+
+    # non-degenerate subimage loss on a 10x10 grid
+    from m3vit_tpu.models.vit_moe import _regu_subimage_loss
+
+    logits = jax.random.normal(jax.random.key(9), (2, 100, 8))
+    val = float(_regu_subimage_loss(logits, 5))
+    assert np.isfinite(val) and val > 0.0
+
+    # losses are differentiable wrt gate params
+    def loss(params):
+        _, _, st = model.apply(
+            {"params": params}, x, task_id=jnp.asarray(0), train=True,
+            sem=sem, rngs={"gate_noise": jax.random.key(8)},
+        )
+        return st["semregu_loss"] + st["regu_subimage_loss"]
+
+    g = jax.grad(loss)(v["params"])
+    wg = np.abs(np.asarray(g["block_1"]["mlp"]["w_gate"])).sum()
+    assert np.isfinite(wg)
