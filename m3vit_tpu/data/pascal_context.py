@@ -218,7 +218,13 @@ class PASCALContext:
 
         label_map = sio.loadmat(self.edges[index])["LabelMap"]
         edge = cv2.Laplacian(label_map.astype(np.float64), cv2.CV_64F)
-        return zhang_suen_thin(np.abs(edge) > 0).astype(np.float32)
+        binary = np.abs(edge) > 0
+        from m3vit_tpu import native
+
+        thinned = native.thin(binary)
+        if thinned is None:
+            thinned = zhang_suen_thin(binary)
+        return thinned.astype(np.float32)
 
     def _load_human_parts(self, index: int) -> np.ndarray:
         import scipy.io as sio

@@ -34,7 +34,13 @@ def _match_counts(
 ) -> Tuple[int, int, int, int]:
     """One-to-one greedy correspondence within max_dist_px.
 
-    Returns (matched_pred, total_pred, matched_gt, total_gt)."""
+    Returns (matched_pred, total_pred, matched_gt, total_gt).
+    Uses the native C++ kernel when available (m3vit_tpu.native)."""
+    from m3vit_tpu import native
+
+    res = native.match_boundaries(pred, gt, max_dist_px)
+    if res is not None:
+        return res
     pred_pts = np.argwhere(pred)
     gt_pts = np.argwhere(gt)
     n_pred, n_gt = len(pred_pts), len(gt_pts)
@@ -87,7 +93,11 @@ def evaluate_boundaries(
         for ti, t in enumerate(ts):
             pb = pred >= t
             if apply_thinning and pb.any():
-                pb = zhang_suen_thin(pb).astype(bool)
+                from m3vit_tpu import native
+
+                thinned = native.thin(pb)
+                pb = (thinned if thinned is not None
+                      else zhang_suen_thin(pb)).astype(bool)
             mp, tp_, mg, tg = _match_counts(pb, gt, tol)
             cnt_p[ti] += mp
             sum_p[ti] += tp_
