@@ -77,6 +77,12 @@ def parse_args(argv=None):
     ap.add_argument("--synthetic", type=int, default=0, metavar="NBATCH",
                     help="train on N synthetic batches/epoch (no dataset needed)")
     ap.add_argument("--wandb", action="store_true")
+    ap.add_argument("--flops", action="store_true",
+                    help="print XLA-estimated FLOPs of one forward and exit")
+    ap.add_argument("--time", dest="time_fwd", action="store_true",
+                    help="print forward latency and exit")
+    ap.add_argument("--profile_dir", default=None,
+                    help="write a jax.profiler trace for the first train steps")
     ap.add_argument("--log_interval", type=int, default=25)
     return ap.parse_args(argv)
 
@@ -235,6 +241,35 @@ def run(args) -> Dict:
                   f"{100 * results['multi_task_performance']:.2f}%")
         return results
 
+    if args.flops or args.time_fwd:
+        # --flops / --time (reference main.py:97-108, train_fastmoe.py:515-522)
+        import time as _t
+
+        from m3vit_tpu.utils.tracing import flops_of
+
+        img = sample["image"][:1]
+
+        def fwd(params, x):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            pred, _, _ = model.apply(variables, x, train=False)
+            return pred[tasks[0]]
+
+        if args.flops:
+            f = flops_of(fwd, state.params, img)
+            print(f"forward FLOPs (XLA estimate, batch=1): "
+                  f"{f/1e9:.2f} G" if f else "cost analysis unavailable")
+        if args.time_fwd:
+            jf = jax.jit(fwd)
+            _ = float(jnp.sum(jf(state.params, img)))
+            t0 = _t.perf_counter()
+            for _i in range(5):
+                r = jf(state.params, img)
+            _ = float(jnp.sum(r))
+            print(f"forward latency: {(_t.perf_counter()-t0)/5*1000:.1f} ms")
+        return {}
+
     if args.eval:
         return run_eval(start_epoch)
     if args.dev_test:
@@ -252,9 +287,15 @@ def run(args) -> Dict:
         if bsh is not None:
             batches = device_put_batches(batches, bsh)
         t_win = time.time()
+        profiling = args.profile_dir and epoch == start_epoch
+        if profiling:
+            jax.profiler.start_trace(args.profile_dir)
         for it, batch in enumerate(batches):
             batch = {k: v for k, v in batch.items() if k != "meta"}
             state, metrics = train_step(state, batch, rng)
+            if profiling and it == 2:
+                jax.profiler.stop_trace()
+                profiling = False
             seen += batch_size
             if (it + 1) % args.log_interval == 0:
                 loss = float(metrics["loss_total"])  # sync point

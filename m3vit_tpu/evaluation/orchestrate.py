@@ -137,3 +137,39 @@ def validate_results(p, current: Dict, best: Optional[Dict]) -> (Dict, bool):
     else:
         improve = cur[lower[task]] < prev[lower[task]]
     return (current, True) if improve else (best, False)
+
+
+def eval_saved_predictions(p, save_dir: str, dataset) -> Dict:
+    """Score predictions written by save_model_predictions against dataset GT
+    at original resolution (reference eval_all_results, evaluate_utils.py:
+    361-429; per-task eval_*_predictions readers)."""
+    import scipy.io as sio
+
+    meter = PerformanceMeter(p)
+    tasks = list(p["TASK_NAMES"])
+    for i in range(len(dataset)):
+        sample = dataset[i]
+        im_id = dataset.im_ids[i] if hasattr(dataset, "im_ids") else str(i)
+        for task in tasks:
+            fname = os.path.join(save_dir, task, im_id)
+            if task == "depth":
+                pred = sio.loadmat(fname + ".mat")["depth"].astype(np.float32)
+            else:
+                img = cv2.imread(fname + ".png", cv2.IMREAD_UNCHANGED)
+                if img is None:
+                    raise FileNotFoundError(fname + ".png")
+                if img.ndim == 3:
+                    img = img[:, :, ::-1]  # BGR -> RGB (normals)
+                pred = img.astype(np.float32)
+            gt = np.asarray(sample[task], np.float32)
+            if gt.ndim == 3 and gt.shape[-1] == 1:
+                gt = gt[..., 0]
+            meter.meters[task].update(pred[None], gt[None])
+    results = meter.get_score()
+    if p.get("setup") == "multi_task":
+        stl = single_task_reference_dict(p["train_db_name"], p["TASK_NAMES"])
+        if stl:
+            results["multi_task_performance"] = calculate_multi_task_performance(
+                results, stl
+            )
+    return results

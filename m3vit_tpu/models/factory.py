@@ -75,6 +75,7 @@ def build_backbone(p, mesh=None, expert_axis: Optional[str] = "expert"):
             gate_task_specific_dim=int(p.get("gate_task_specific_dim", -1)),
             capacity_factor=float(p.get("moe_capacity_factor", 2.0)),
             eval_capacity_factor=float(p.get("moe_eval_capacity_factor", 4.0)),
+            moe_gate_type=str(p.get("moe_gate_type", "noisy_vmoe")),
             mesh=mesh,
             expert_axis=expert_axis,
             **common,

@@ -39,7 +39,15 @@ from m3vit_tpu.models.vit import (
     trunc_normal_init,
 )
 from m3vit_tpu.moe.dispatch import MoEFfnParams, moe_ffn
-from m3vit_tpu.moe.gating import GateOutput, gate_init, moe_aux_loss, noisy_vmoe_gate
+from m3vit_tpu.moe.gating import (
+    GateOutput,
+    gate_init,
+    moe_aux_loss,
+    moe_aux_loss_noisy,
+    noisy_gate,
+    noisy_gate_init,
+    noisy_vmoe_gate,
+)
 
 Dtype = Any
 
@@ -183,6 +191,7 @@ class MoEMlp(nn.Module):
     regu_sem_num_classes: int = 40
     regu_subimage: bool = False
     subimage_tokens: int = 5
+    gate_type: str = "noisy_vmoe"  # 'noisy_vmoe' | 'noisy' (gates.py:195-280)
 
     @nn.compact
     def __call__(
@@ -222,20 +231,23 @@ class MoEMlp(nn.Module):
 
         if self.multi_gate:
             assert self.num_tasks > 0, "multi_gate requires num_tasks"
+            w_gate_shape = (self.num_tasks, d_gate, E)
             w_gate_all = self.param(
                 "w_gate",
                 lambda k, s: jax.vmap(lambda kk: gate_init(kk, d_gate, E))(
                     jax.random.split(k, s[0])
                 ),
-                (self.num_tasks, d_gate, E),
+                w_gate_shape,
             )
             tid = jnp.clip(task_id, 0, self.num_tasks - 1)
             w_gate = jnp.take(w_gate_all, tid, axis=0)
         else:
+            w_gate_shape = (1, d_gate, E)
+            tid = 0
             w_gate = self.param(
                 "w_gate",
                 lambda k, s: gate_init(k, s[1], s[2])[None],
-                (1, d_gate, E),
+                w_gate_shape,
             )[0]
 
         # per-task expert window: gate over num_experts_pertask columns
@@ -255,15 +267,30 @@ class MoEMlp(nn.Module):
             idx_offset = start
 
         rng = self.make_rng("gate_noise") if train else None
-        gate = noisy_vmoe_gate(
-            gate_inp,
-            w_gate,
-            top_k=self.top_k,
-            noise_std=self.vmoe_noisy_std,
-            train=train,
-            rng=rng,
-            expert_mask=expert_mask,
-        )
+        if self.gate_type == "noisy":
+            w_noise_all = self.param(
+                "w_noise",
+                lambda k, s: jax.vmap(lambda kk: gate_init(kk, s[1], s[2]))(
+                    jax.random.split(k, s[0])
+                ),
+                w_gate_shape,
+            )
+            w_noise = (jnp.take(w_noise_all, tid, axis=0)
+                       if self.multi_gate else w_noise_all[0])
+            gate = noisy_gate(
+                gate_inp, w_gate, w_noise, top_k=self.top_k, train=train,
+                rng=rng, expert_mask=expert_mask,
+            )
+        else:
+            gate = noisy_vmoe_gate(
+                gate_inp,
+                w_gate,
+                top_k=self.top_k,
+                noise_std=self.vmoe_noisy_std,
+                train=train,
+                rng=rng,
+                expert_mask=expert_mask,
+            )
 
         top_idx = gate.top_k_indices.reshape(B, N, self.top_k)
         top_gates = gate.top_k_gates.reshape(B, N, self.top_k)
@@ -360,6 +387,7 @@ class MoEBlock(nn.Module):
     num_experts_pertask: int = -1
     regu_sem: bool = False
     regu_subimage: bool = False
+    gate_type: str = "noisy_vmoe"
 
     @nn.compact
     def __call__(
@@ -406,6 +434,7 @@ class MoEBlock(nn.Module):
             num_experts_pertask=self.num_experts_pertask,
             regu_sem=self.regu_sem,
             regu_subimage=self.regu_subimage,
+            gate_type=self.gate_type,
             name="mlp",
         )(h.astype(self.dtype), task_id, task_feature, train,
           expert_mask, sem_force_idx, sem_force_mask, gate_inp_tokens,
@@ -414,7 +443,12 @@ class MoEBlock(nn.Module):
             moe_out = nn.Dropout(self.drop, deterministic=False)(moe_out)
         x = x + drop_path(moe_out, self.drop_path_rate, train, dp_rng)
 
-        cv_loss = moe_aux_loss(gate, self.moe_top_k, self.moe_experts, train)
+        if self.gate_type == "noisy":
+            cv_loss = moe_aux_loss_noisy(gate, self.moe_top_k,
+                                         self.moe_experts, train)
+        else:
+            cv_loss = moe_aux_loss(gate, self.moe_top_k, self.moe_experts,
+                                   train)
 
         # MoE analysis stats (reference _ckpt_main_moe :461-480), detached
         probs = jax.lax.stop_gradient(gate.gates.astype(jnp.float32))
@@ -471,6 +505,7 @@ class VisionTransformerMoE(nn.Module):
     sem_force: bool = False
     regu_sem: bool = False
     regu_subimage: bool = False
+    moe_gate_type: str = "noisy_vmoe"
 
     @nn.compact
     def __call__(
@@ -581,6 +616,7 @@ class VisionTransformerMoE(nn.Module):
                     num_experts_pertask=self.num_experts_pertask,
                     regu_sem=self.regu_sem,
                     regu_subimage=self.regu_subimage,
+                    gate_type=self.moe_gate_type,
                     name=f"block_{i}",
                 )(tokens, task_id, task_feature, train, expert_mask,
                   sem_force_idx, sem_force_mask, gate_inp, sem_patch)

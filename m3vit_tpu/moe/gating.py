@@ -169,3 +169,88 @@ def moe_aux_loss(
     else:
         load = gates_to_load(gate.gates)
     return cv_squared(importance) + cv_squared(load)
+
+
+def noisy_gate_init(key: jax.Array, d_gate: int, num_experts: int):
+    """w_gate + w_noise for the learned-noise gate (reference gates.py:68-90:
+    both kaiming_uniform(a=sqrt(5)) on [d, E] => bound 1/sqrt(E))."""
+    k1, k2 = jax.random.split(key)
+    return gate_init(k1, d_gate, num_experts), gate_init(k2, d_gate, num_experts)
+
+
+def noisy_gate(
+    gate_inp: jnp.ndarray,
+    w_gate: jnp.ndarray,
+    w_noise: jnp.ndarray,
+    *,
+    top_k: int,
+    train: bool,
+    rng: Optional[jax.Array] = None,
+    no_noise: bool = False,
+    noise_epsilon: float = 1e-2,
+    expert_mask: Optional[jnp.ndarray] = None,
+) -> GateOutput:
+    """NoisyGate (`moe_gate_type="noisy"`): learned per-element noise
+    (softplus(x @ w_noise) + eps), top-k of RAW logits, scores = softmax over
+    the selected top-k logits (renormalized — unlike the VMoE gate)
+    (reference: models/moe/gates.py:195-280).
+
+    GateOutput.noise_stddev here is the [T, E] per-element stddev (the VMoE
+    gate returns a scalar); moe_aux_loss handles both.
+    """
+    num_experts = w_gate.shape[-1]
+    x = gate_inp.astype(jnp.float32)
+    clean_logits = x @ w_gate.astype(jnp.float32)
+    raw_std = x @ w_noise.astype(jnp.float32)
+    use_noise = train and not no_noise
+    if use_noise:
+        if rng is None:
+            raise ValueError("training noisy gate requires an rng")
+        noise_stddev = jax.nn.softplus(raw_std) + noise_epsilon
+        noisy_logits = clean_logits + (
+            jax.random.normal(rng, clean_logits.shape) * noise_stddev
+        )
+    else:
+        noise_stddev = jnp.zeros_like(clean_logits)
+        noisy_logits = clean_logits
+
+    if expert_mask is not None:
+        noisy_logits = jnp.where(expert_mask[None, :], noisy_logits, -1e30)
+
+    m = min(top_k + 1, num_experts)
+    top_logits, top_indices = jax.lax.top_k(noisy_logits, m)
+    top_k_logits = top_logits[:, :top_k]
+    top_k_indices = top_indices[:, :top_k].astype(jnp.int32)
+    top_k_gates = jax.nn.softmax(top_k_logits, axis=-1)
+
+    gates = jnp.zeros_like(noisy_logits)
+    t_idx = jnp.arange(noisy_logits.shape[0])[:, None]
+    gates = gates.at[t_idx, top_k_indices].set(top_k_gates)
+
+    return GateOutput(
+        top_k_indices=top_k_indices,
+        top_k_gates=top_k_gates,
+        clean_logits=clean_logits,
+        noisy_logits=noisy_logits,
+        noise_stddev=noise_stddev,
+        top_logits=top_logits,
+        gates=gates,
+    )
+
+
+def moe_aux_loss_noisy(
+    gate: GateOutput, top_k: int, num_experts: int, train: bool
+) -> jnp.ndarray:
+    """cv² balance loss for the learned-noise gate: load uses the smooth
+    estimator with per-element stddev (reference gates.py:249-262)."""
+    if not train:
+        return jnp.asarray(0.0, jnp.float32)
+    importance = gate.gates.sum(axis=0)
+    if top_k < num_experts:
+        std = jnp.maximum(gate.noise_stddev, 1e-20)
+        load = prob_in_top_k(
+            gate.clean_logits, gate.noisy_logits, std, gate.top_logits, top_k
+        ).sum(axis=0)
+    else:
+        load = gates_to_load(gate.gates)
+    return cv_squared(importance) + cv_squared(load)

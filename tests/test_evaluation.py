@@ -129,3 +129,62 @@ def test_performance_meter_roundtrip():
     assert "loss" in s["edge"]
     # partial update (single-task eval path)
     pm.update({"semseg": np.zeros((1, 4, 4))}, gt)
+
+
+def test_save_and_score_roundtrip(tmp_path):
+    """save_model_predictions -> eval_saved_predictions protocol roundtrip."""
+    import jax
+    import jax.numpy as jnp
+
+    from m3vit_tpu.evaluation.orchestrate import (
+        eval_saved_predictions,
+        save_model_predictions,
+    )
+
+    H = W = 32
+    tasks = ["semseg", "depth"]
+    p = {"train_db_name": "NYUD", "val_db_name": "NYUD", "setup": "multi_task",
+         "TASK_NAMES": tasks, "save_dir": str(tmp_path),
+         "TASKS": __import__("m3vit_tpu.tasks", fromlist=["x"]).parse_task_dictionary(
+             "NYUD", {"include_semseg": True, "include_depth": True})[0]}
+
+    rng = np.random.RandomState(0)
+    sem_logits = rng.randn(1, H, W, 40).astype(np.float32)
+    depth_pred = (rng.rand(1, H, W, 1) * 5).astype(np.float32)
+    gt_sem = rng.randint(0, 40, (1, H, W, 1)).astype(np.float32)
+    gt_depth = (rng.rand(1, H, W, 1) * 5).astype(np.float32)
+
+    class FakeDS:
+        im_ids = ["img0"]
+
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return {"semseg": gt_sem[0], "depth": gt_depth[0]}
+
+    def eval_step(state, batch):
+        return {"semseg": jnp.asarray(sem_logits),
+                "depth": jnp.asarray(depth_pred)}
+
+    batches = [{"image": np.zeros((1, H, W, 3), np.float32),
+                "semseg": gt_sem, "depth": gt_depth,
+                "meta": [{"image": "img0", "im_size": (H, W)}]}]
+    save_model_predictions(p, eval_step, None, batches)
+    import os
+
+    assert os.path.isfile(tmp_path / "semseg" / "img0.png")
+    assert os.path.isfile(tmp_path / "depth" / "img0.mat")
+
+    res = eval_saved_predictions(p, str(tmp_path), FakeDS())
+    assert 0 <= res["semseg"]["mIoU"] <= 1
+    assert np.isfinite(res["depth"]["rmse"])
+    assert "multi_task_performance" in res
+
+    # the scored mIoU equals scoring the argmax directly
+    from m3vit_tpu.evaluation.meters import SemsegMeter
+
+    m = SemsegMeter("NYUD")
+    m.update(sem_logits.argmax(-1), gt_sem[..., 0])
+    direct = m.get_score()["mIoU"]
+    assert res["semseg"]["mIoU"] == pytest.approx(direct)

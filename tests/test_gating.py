@@ -123,3 +123,56 @@ def test_moe_aux_loss_eval_is_zero_train_positive():
 def test_gates_to_load():
     g = jnp.asarray([[0.5, 0.0, 0.2], [0.0, 0.0, 0.9]])
     np.testing.assert_array_equal(np.asarray(gates_to_load(g)), [1.0, 0.0, 2.0])
+
+
+def test_noisy_gate_learned_noise():
+    """NoisyGate (moe_gate_type='noisy'): topk of raw logits, scores softmax
+    over the top-k logits (renormalized), learned per-element noise."""
+    from m3vit_tpu.moe.gating import moe_aux_loss_noisy, noisy_gate
+
+    rng = np.random.RandomState(3)
+    T, d, E, K = 64, 16, 8, 2
+    x = jnp.asarray(rng.randn(T, d).astype(np.float32))
+    w_gate = jnp.asarray(rng.randn(d, E).astype(np.float32) * 0.1)
+    w_noise = jnp.asarray(rng.randn(d, E).astype(np.float32) * 0.1)
+
+    g = noisy_gate(x, w_gate, w_noise, top_k=K, train=False)
+    # scores renormalized: each row sums to exactly 1
+    np.testing.assert_allclose(np.asarray(g.top_k_gates).sum(1), 1.0,
+                               atol=1e-5)
+    # eval mode: routing = topk of clean logits
+    expected_idx = np.asarray(jnp.argsort(-x @ w_gate, axis=1)[:, :K])
+    np.testing.assert_array_equal(np.sort(np.asarray(g.top_k_indices), 1),
+                                  np.sort(expected_idx, 1))
+    # train: per-element stddev = softplus(x @ w_noise) + eps
+    gt = noisy_gate(x, w_gate, w_noise, top_k=K, train=True,
+                    rng=jax.random.key(0))
+    std = np.asarray(gt.noise_stddev)
+    assert std.shape == (T, E)
+    np.testing.assert_allclose(
+        std, np.log1p(np.exp(np.asarray(x @ w_noise))) + 1e-2, rtol=1e-4
+    )
+    loss = float(moe_aux_loss_noisy(gt, K, E, True))
+    assert np.isfinite(loss) and loss > 0
+
+
+def test_backbone_with_noisy_gate_type():
+    from m3vit_tpu.models.vit_moe import VisionTransformerMoE
+
+    model = VisionTransformerMoE(
+        img_size=(64, 64), patch_size=16, embed_dim=64, depth=2, num_heads=4,
+        moe_mlp_ratio=1.0, moe_experts=8, moe_top_k=2, multi_gate=True,
+        num_tasks=2, capacity_factor=8.0, dtype=jnp.float32,
+        use_checkpointing=False, moe_gate_type="noisy",
+    )
+    x = jnp.ones((1, 64, 64, 3))
+    v = model.init(
+        {"params": jax.random.key(0), "gate_noise": jax.random.key(1)},
+        x, task_id=jnp.asarray(0), train=True,
+    )
+    assert "w_noise" in v["params"]["block_1"]["mlp"]
+    out, cv, _ = model.apply(
+        v, x, task_id=jnp.asarray(0), train=True,
+        rngs={"gate_noise": jax.random.key(2)},
+    )
+    assert np.isfinite(np.asarray(out)).all() and float(cv) > 0
