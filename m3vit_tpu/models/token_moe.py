@@ -147,6 +147,12 @@ class TokenBlock(nn.Module):
     mesh: Any = None
     expert_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
+    # relation-conditioned task attention (§4; reference
+    # relation_conditioned_attention.py)
+    use_task_conditioned_attn: bool = False
+    attn_num_experts: int = 4
+    attn_expert_top_k: int = 2
+    branch_embed_dim: int = 32
 
     @nn.compact
     def __call__(
@@ -155,17 +161,34 @@ class TokenBlock(nn.Module):
         task_emb: Optional[jnp.ndarray],  # [T, d_emb]
         share_gamma: float,
         train: bool = False,
+        prev_share_mask: Optional[jnp.ndarray] = None,  # [T, B, N] bool
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Dict]:
         T, B, N, C = outs.shape
         norm1 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")
         norm2 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")
-        attn = Attention(self.num_heads, self.qkv_bias, dtype=self.dtype,
-                         name="attn")
 
-        # 1) attention per task stream (shared weights)
-        h = norm1(outs.reshape(T * B, N, C))
-        h = attn(h.astype(self.dtype), train).reshape(T, B, N, C)
-        outs = outs + h
+        # 1) attention stage: branch-aware (task-conditioned) or per-task
+        #    standard attention with shared weights
+        if self.use_task_conditioned_attn:
+            from m3vit_tpu.models.relation_attention import (
+                TaskConditionedAttention,
+            )
+
+            normed = norm1(outs.reshape(T * B, N, C)).reshape(T, B, N, C)
+            h = TaskConditionedAttention(
+                num_tasks=T, dim=C, num_heads=self.num_heads,
+                attn_num_experts=self.attn_num_experts,
+                attn_expert_top_k=self.attn_expert_top_k,
+                branch_embed_dim=self.branch_embed_dim,
+                dtype=self.dtype, name="attn",
+            )(normed, prev_share_mask)
+            outs = outs + h
+        else:
+            attn = Attention(self.num_heads, self.qkv_bias, dtype=self.dtype,
+                             name="attn")
+            h = norm1(outs.reshape(T * B, N, C))
+            h = attn(h.astype(self.dtype), train).reshape(T, B, N, C)
+            outs = outs + h
 
         # 2) shareability scores per task
         share_pred = ShareabilityPredictor(
@@ -311,6 +334,10 @@ class TokenVisionTransformerMoE(nn.Module):
     bootstrap_share_gamma: float = 0.3
     bootstrap_first_moe: bool = True
     share_reg_lambda: float = 0.01
+    use_task_conditioned_attn: bool = False
+    attn_num_experts: int = 4
+    attn_expert_top_k: int = 2
+    branch_embed_dim: int = 32
     capacity_factor: float = 2.0
     eval_capacity_factor: float = 4.0
     mesh: Any = None
@@ -354,6 +381,7 @@ class TokenVisionTransformerMoE(nn.Module):
 
         total_aux = jnp.asarray(0.0, jnp.float32)
         stats_acc: Dict = {}
+        prev_share_mask = None
         first_moe = 1 if self.depth > 1 else None
         for i in range(self.depth):
             is_moe = i % 2 == 1
@@ -371,8 +399,13 @@ class TokenVisionTransformerMoE(nn.Module):
                 capacity_factor=self.capacity_factor,
                 eval_capacity_factor=self.eval_capacity_factor,
                 mesh=self.mesh, expert_axis=self.expert_axis,
+                use_task_conditioned_attn=self.use_task_conditioned_attn,
+                attn_num_experts=self.attn_num_experts,
+                attn_expert_top_k=self.attn_expert_top_k,
+                branch_embed_dim=self.branch_embed_dim,
                 dtype=self.dtype, name=f"block_{i}",
-            )(outs, task_emb, gamma, train)
+            )(outs, task_emb, gamma, train, prev_share_mask)
+            prev_share_mask = share_mask
             total_aux = total_aux + aux["cv_loss"]
             if train and self.share_reg_lambda > 0:
                 total_aux = total_aux + sharing_regularization_loss(

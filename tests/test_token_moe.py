@@ -128,3 +128,43 @@ def test_token_multitask_model():
     )
     assert out["semseg"].shape == (1, IMG, IMG, 5)
     assert out["edge"].shape == (1, IMG, IMG, 1)
+
+
+def test_relation_conditioned_attention():
+    from m3vit_tpu.models.relation_attention import TaskConditionedAttention
+
+    T, B, N, D = 2, 1, 8, 32
+    tca = TaskConditionedAttention(num_tasks=T, dim=D, num_heads=4,
+                                   attn_num_experts=4, attn_expert_top_k=2,
+                                   branch_embed_dim=8)
+    outs = jax.random.normal(jax.random.key(0), (T, B, N, D))
+    # positions 0-3 shared by both tasks
+    mask = jnp.zeros((T, B, N), bool).at[:, :, :4].set(True)
+    v = tca.init(jax.random.key(1), outs, mask)
+    o = tca.apply(v, outs, mask)
+    assert o.shape == (T, B, N, D)
+    assert np.isfinite(np.asarray(o)).all()
+    # no sharing: neutral branch fully masked, still finite
+    o2 = tca.apply(v, outs, None)
+    assert np.isfinite(np.asarray(o2)).all()
+    # with identical shared inputs at shared positions, the two tasks' outputs
+    # at shared positions are identical (single neutral computation)
+    shared_outs = outs.at[1, :, :4].set(outs[0, :, :4])
+    o3 = tca.apply(v, shared_outs, mask)
+    np.testing.assert_allclose(np.asarray(o3[0, :, :4]),
+                               np.asarray(o3[1, :, :4]), atol=1e-5)
+
+
+def test_token_backbone_with_tca():
+    model = tiny_token_backbone(use_task_conditioned_attn=True,
+                                attn_num_experts=4, branch_embed_dim=8)
+    x = jax.random.normal(jax.random.key(0), (1, IMG, IMG, 3))
+    v = model.init(
+        {"params": jax.random.key(1), "gate_noise": jax.random.key(2)},
+        x, train=True,
+    )
+    assert "branch_embed" in v["params"]["block_0"]["attn"]
+    streams, aux, _ = model.apply(
+        v, x, train=True, rngs={"gate_noise": jax.random.key(3)}
+    )
+    assert np.isfinite(np.asarray(streams[0])).all()
