@@ -185,3 +185,47 @@ def device_put_batches(batches: Iterator[Dict], sharding=None) -> Iterator[Dict]
         prev = cur
     if prev is not None:
         yield prev
+
+
+def aspect_ratio_groups(dataset, im_sizes=None) -> np.ndarray:
+    """Group flag per sample: 0 = landscape (w/h >= 1), 1 = portrait
+    (reference GroupSampler/DistributedGroupSampler, utils/sampler.py:100-223:
+    batches drawn within one aspect group)."""
+    flags = []
+    for i in range(len(dataset)):
+        if im_sizes is not None:
+            h, w = im_sizes[i]
+        else:
+            s = dataset[i]
+            meta = s.get("meta", {})
+            h, w = meta.get("im_size", s["image"].shape[:2])
+        flags.append(0 if w >= h else 1)
+    return np.asarray(flags, np.int32)
+
+
+class GroupedEpochLoader(EpochLoader):
+    """EpochLoader drawing each batch from one aspect-ratio group."""
+
+    def __init__(self, dataset, batch_size: int, group_flags: np.ndarray,
+                 **kw):
+        super().__init__(dataset, batch_size, **kw)
+        self.group_flags = np.asarray(group_flags)
+
+    def epoch(self, epoch: int):
+        rng = np.random.RandomState(self.seed + epoch)
+        order = []
+        for g in np.unique(self.group_flags):
+            idx = np.where(self.group_flags == g)[0]
+            if self.shuffle:
+                rng.shuffle(idx)
+            # pad group to batch divisibility by wrapping (reference
+            # GroupSampler padding, sampler.py:123-135)
+            pad = (-len(idx)) % self.batch_size
+            if pad and len(idx):
+                idx = np.concatenate([idx, idx[:pad]])
+            order.extend(idx.reshape(-1, self.batch_size))
+        if self.shuffle:
+            rng.shuffle(order)
+        for batch_idx in order:
+            samples = [self.dataset[int(i)] for i in batch_idx]
+            yield collate(samples)

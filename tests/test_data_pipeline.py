@@ -211,3 +211,24 @@ def test_loader_end_to_end(pascal_root):
     np.testing.assert_array_equal(
         np.asarray(b0["meta"][0]["image"]), np.asarray(b1["meta"][0]["image"])
     )
+
+
+def test_grouped_loader_batches_within_aspect_group():
+    from m3vit_tpu.data.loader import GroupedEpochLoader
+
+    class DS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            # first 5 landscape (4x8), last 3 portrait (8x4)
+            shape = (4, 8, 3) if i < 5 else (8, 4, 3)
+            return {"image": np.full(shape, i, np.float32),
+                    "meta": {"image": str(i), "im_size": shape[:2]}}
+
+    flags = np.array([0] * 5 + [1] * 3)
+    loader = GroupedEpochLoader(DS(), batch_size=2, group_flags=flags, seed=1)
+    for batch in loader.epoch(0):
+        ids = [int(m["image"]) for m in batch["meta"]]
+        groups = {flags[i] for i in ids}
+        assert len(groups) == 1  # never mixes aspect groups
