@@ -64,6 +64,7 @@ def parse_args(argv=None):
     # run control
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--trBatch", type=int, default=None)
+    ap.add_argument("--accumulation_steps", type=int, default=None)
     ap.add_argument("--valBatch", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval", action="store_true", help="eval-only")
@@ -128,7 +129,7 @@ def run(args) -> Dict:
         for k in ("moe_experts", "moe_top_k", "vmoe_noisy_std",
                   "gate_task_specific_dim", "moe_capacity_factor", "epochs",
                   "trBatch", "valBatch", "compute_dtype", "save_dir",
-                  "run_name")
+                  "run_name", "accumulation_steps")
         if getattr(args, k) is not None
     }
     overrides["multi_gate"] = args.multi_gate

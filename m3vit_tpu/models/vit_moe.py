@@ -290,6 +290,7 @@ class MoEMlp(nn.Module):
                 train=train,
                 rng=rng,
                 expert_mask=expert_mask,
+                build_dense_gates=False,
             )
 
         top_idx = gate.top_k_indices.reshape(B, N, self.top_k)
@@ -450,14 +451,18 @@ class MoEBlock(nn.Module):
             cv_loss = moe_aux_loss(gate, self.moe_top_k, self.moe_experts,
                                    train)
 
-        # MoE analysis stats (reference _ckpt_main_moe :461-480), detached
-        probs = jax.lax.stop_gradient(gate.gates.astype(jnp.float32))
-        ent = -(jnp.clip(probs, 1e-12) ** 0 * probs * jnp.log(jnp.clip(probs, 1e-12))).sum(-1)
+        # MoE analysis stats (reference _ckpt_main_moe :461-480), detached.
+        # Sparse top-k probs carry the same entropy/top1/hist information as
+        # the dense [T, E] gates (zeros contribute nothing).
+        from m3vit_tpu.moe.gating import gate_load_counts
+
+        tk = jax.lax.stop_gradient(gate.top_k_gates.astype(jnp.float32))
+        ent = -(tk * jnp.log(jnp.clip(tk, 1e-12))).sum(-1)
         stats = {
             "gate_entropy_sum": ent.sum(),
-            "top1_prob_sum": probs.max(-1).sum(),
-            "gate_token_count": jnp.asarray(probs.shape[0], jnp.float32),
-            "expert_load_hist": (probs > 0).sum(0).astype(jnp.float32),
+            "top1_prob_sum": tk.max(-1).sum(),
+            "gate_token_count": jnp.asarray(tk.shape[0], jnp.float32),
+            "expert_load_hist": jax.lax.stop_gradient(gate_load_counts(gate)),
         }
         stats.update(regu)
         return x, cv_loss, stats

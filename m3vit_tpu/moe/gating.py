@@ -56,6 +56,7 @@ def noisy_vmoe_gate(
     rng: Optional[jax.Array] = None,
     no_noise: bool = False,
     expert_mask: Optional[jnp.ndarray] = None,
+    build_dense_gates: bool = True,
 ) -> GateOutput:
     """NoisyGate_VMoE forward (reference: noisy_gate_vmoe.py:80-264).
 
@@ -88,10 +89,15 @@ def noisy_vmoe_gate(
     top_k_gates = top_logits[:, :top_k]
     top_k_indices = top_indices[:, :top_k].astype(jnp.int32)
 
-    # dense [T, E] gates with the top-k probs scattered back in
-    gates = jnp.zeros_like(probs)
-    t_idx = jnp.arange(probs.shape[0])[:, None]
-    gates = gates.at[t_idx, top_k_indices].set(top_k_gates)
+    if build_dense_gates:
+        # dense [T, E] gates with the top-k probs scattered back in
+        gates = jnp.zeros_like(probs)
+        t_idx = jnp.arange(probs.shape[0])[:, None]
+        gates = gates.at[t_idx, top_k_indices].set(top_k_gates)
+    else:
+        # hot path: consumers derive importance/load/entropy from the top-k
+        # fields; skip the [T, E] scatter (moe_aux_loss handles gates=None)
+        gates = None
 
     return GateOutput(
         top_k_indices=top_k_indices,
@@ -154,7 +160,7 @@ def moe_aux_loss(
     """
     if not train:
         return jnp.asarray(0.0, jnp.float32)
-    importance = gate.gates.sum(axis=0)
+    importance = gate_importance(gate)
     use_smooth = top_k < num_experts
     if use_smooth:
         smooth = prob_in_top_k(
@@ -164,11 +170,30 @@ def moe_aux_loss(
             gate.top_logits,
             top_k,
         ).sum(axis=0)
-        hard = gates_to_load(gate.gates)
+        hard = gate_load_counts(gate)
         load = jnp.where(jnp.abs(gate.noise_stddev) > 1e-6, smooth, hard)
     else:
-        load = gates_to_load(gate.gates)
+        load = gate_load_counts(gate)
     return cv_squared(importance) + cv_squared(load)
+
+
+def gate_importance(gate: GateOutput) -> jnp.ndarray:
+    """Per-expert sum of gate probs; == gates.sum(0) without the dense scatter."""
+    if gate.gates is not None:
+        return gate.gates.sum(axis=0)
+    E = gate.clean_logits.shape[-1]
+    return jnp.zeros(E, jnp.float32).at[gate.top_k_indices.reshape(-1)].add(
+        gate.top_k_gates.reshape(-1)
+    )
+
+
+def gate_load_counts(gate: GateOutput) -> jnp.ndarray:
+    """Per-expert routed-token counts (== (gates > 0).sum(0))."""
+    if gate.gates is not None:
+        return gates_to_load(gate.gates)
+    E = gate.clean_logits.shape[-1]
+    sel = (gate.top_k_gates.reshape(-1) > 0).astype(jnp.float32)
+    return jnp.zeros(E, jnp.float32).at[gate.top_k_indices.reshape(-1)].add(sel)
 
 
 def noisy_gate_init(key: jax.Array, d_gate: int, num_experts: int):

@@ -54,7 +54,11 @@ def build_schedule(p, steps_per_epoch: int):
 
 def build_optimizer(p, steps_per_epoch: int) -> optax.GradientTransformation:
     kw = dict(p.get("optimizer_kwargs") or {})
-    schedule = build_schedule(p, steps_per_epoch)
+    accum = int(p.get("accumulation_steps", 1))
+    # the LR schedule sees optimizer steps; with accumulation each optimizer
+    # step consumes `accum` micro-batches (reference --accumulation_steps,
+    # train_fastmoe.py:105, train_utils.py:457-464)
+    schedule = build_schedule(p, max(steps_per_epoch // max(accum, 1), 1))
     name = p.get("optimizer", "sgd")
     wd = float(kw.get("weight_decay", 0.0))
 
@@ -69,9 +73,13 @@ def build_optimizer(p, steps_per_epoch: int) -> optax.GradientTransformation:
                 nesterov=bool(kw.get("nesterov", False)),
             )
         )
-        return optax.chain(*parts)
-    if name == "adam":
-        return optax.adam(schedule)
-    if name == "adamw":
-        return optax.adamw(schedule, weight_decay=wd)
-    raise ValueError(f"Invalid optimizer {name}")
+        tx = optax.chain(*parts)
+    elif name == "adam":
+        tx = optax.adam(schedule)
+    elif name == "adamw":
+        tx = optax.adamw(schedule, weight_decay=wd)
+    else:
+        raise ValueError(f"Invalid optimizer {name}")
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx

@@ -112,3 +112,40 @@ def test_sharded_train_step(mesh8):
     w1 = state.params["backbone"]["block_1"]["mlp"]["experts_w1"]
     spec = w1.sharding.spec
     assert spec[0] == "expert", spec
+
+
+def test_gradient_accumulation_equivalence():
+    """optax.MultiSteps(k=2) over two half-batches == one full-batch step
+    (for loss = mean over batch, SGD no-momentum)."""
+    import optax
+
+    from m3vit_tpu.losses.functions import softmax_ce_loss
+
+    p = {"optimizer": "sgd", "optimizer_kwargs": {"lr": 0.1},
+         "scheduler": "poly", "epochs": 100}
+    model = build_tiny_model()
+    batch = synthetic_batch(jax.random.key(0), TASKS, 4, (IMG, IMG))
+
+    # full batch, no accumulation
+    tx_full = build_optimizer(p, steps_per_epoch=1000)
+    s_full = create_train_state(model, jax.random.key(1), batch, tx_full)
+    step = make_train_step(model, [t.name for t in TASKS], LOSS_FNS, WEIGHTS,
+                           donate=False)
+    s_full2, _ = step(s_full, batch, jax.random.key(9))
+
+    # accumulate over the SAME full batch twice (identical grads) -> same update
+    p2 = dict(p, accumulation_steps=2)
+    tx_acc = build_optimizer(p2, steps_per_epoch=1000)
+    s_acc = create_train_state(model, jax.random.key(1), batch, tx_acc)
+    step_acc = make_train_step(model, [t.name for t in TASKS], LOSS_FNS,
+                               WEIGHTS, donate=False)
+    # force identical rng per micro-step so grads match the full-batch step
+    s_acc = s_acc.replace(step=s_full.step)
+    s_acc1, _ = step_acc(s_acc, batch, jax.random.key(9))
+    s_acc1 = s_acc1.replace(step=s_acc.step)  # same fold_in for microstep 2
+    s_acc2, _ = step_acc(s_acc1, batch, jax.random.key(9))
+
+    a = jax.tree.leaves(s_full2.params)
+    b = jax.tree.leaves(s_acc2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
