@@ -187,3 +187,65 @@ def test_pos_embed_interp_shapes():
     out = interpolate_pos_embed(pos, 1, (32, 32))
     assert out.shape == (1, 1 + 32 * 32, 32)
     np.testing.assert_array_equal(out[:, 0], pos[:, 0])
+
+
+def test_pup_head_matches_torch_oracle():
+    """PUP head forward parity: conv3x3+BN(eval)+relu+2x bilinear
+    (align_corners=False) x4 + 1x1 conv, vs a torch oracle."""
+    import torch.nn.functional as tF
+
+    from m3vit_tpu.models.heads import VisionTransformerUpHead
+
+    IMGH = 64
+    torch.manual_seed(3)
+    convs = [nn.Conv2d(D, 256, 3, padding=1), nn.Conv2d(256, 256, 3, padding=1),
+             nn.Conv2d(256, 256, 3, padding=1), nn.Conv2d(256, 256, 3, padding=1)]
+    conv4 = nn.Conv2d(256, 5, 1)
+    norm = nn.LayerNorm(D, eps=1e-6)
+    bns = [nn.BatchNorm2d(256).eval() for _ in range(4)]
+    for bn in bns:  # non-trivial running stats
+        bn.running_mean.normal_(0, 0.1)
+        bn.running_var.uniform_(0.5, 1.5)
+
+    toks = torch.randn(1, 17, D)
+
+    with torch.no_grad():
+        x = norm(toks[:, 1:])  # drop cls
+        x = x.transpose(1, 2).reshape(1, D, 4, 4)
+        x = convs[0](x); x = bns[0](x); x = tF.relu(x)
+        x = tF.interpolate(x, scale_factor=2, mode="bilinear", align_corners=False)
+        x = convs[1](x); x = bns[1](x); x = tF.relu(x)
+        x = tF.interpolate(x, scale_factor=2, mode="bilinear", align_corners=False)
+        x = convs[2](x); x = bns[2](x); x = tF.relu(x)
+        x = tF.interpolate(x, scale_factor=2, mode="bilinear", align_corners=False)
+        x = convs[3](x); x = bns[3](x); x = tF.relu(x)
+        x = conv4(x)
+        expected = tF.interpolate(x, scale_factor=2, mode="bilinear",
+                                  align_corners=False).numpy()
+
+    head = VisionTransformerUpHead(
+        img_size=(IMGH, IMGH), patch_size=16, embed_dim=D, num_classes=5,
+        dtype=jnp.float32,
+    )
+    variables = head.init(jax.random.key(0), jnp.asarray(toks.numpy()),
+                          train=False)
+    params = jax.tree.map(lambda x: x, variables["params"])
+    bstats = dict(variables.get("batch_stats", {}))
+    params["norm"] = {"scale": norm.weight.detach().numpy(),
+                      "bias": norm.bias.detach().numpy()}
+    for i, conv in enumerate(convs):
+        params[f"conv_{i}"] = {
+            "kernel": conv.weight.detach().numpy().transpose(2, 3, 1, 0),
+            "bias": conv.bias.detach().numpy(),
+        }
+    params["conv_4"] = {"kernel": conv4.weight.detach().numpy().transpose(2, 3, 1, 0),
+                        "bias": conv4.bias.detach().numpy()}
+    for i, bn in enumerate(bns):
+        params[f"syncbn_fc_{i}"] = {"scale": bn.weight.detach().numpy(),
+                                    "bias": bn.bias.detach().numpy()}
+        bstats[f"syncbn_fc_{i}"] = {"mean": bn.running_mean.numpy(),
+                                    "var": bn.running_var.numpy()}
+    out = head.apply({"params": params, "batch_stats": bstats},
+                     jnp.asarray(toks.numpy()), train=False)
+    got = np.asarray(out).transpose(0, 3, 1, 2)  # NHWC -> NCHW
+    np.testing.assert_allclose(got, expected, atol=2e-4)
