@@ -212,6 +212,24 @@ def build_model(p, mesh=None, expert_axis: Optional[str] = "expert"):
     if model_name in ("cross_stitch", "nddr_cnn", "mtan", "padnet", "mti_net",
                       "papnet_vit", "jtrl"):
         return _build_mtl_method(p, model_name, mesh)
+    if model_name == "mixture_baseline":
+        from m3vit_tpu.models.mixture import (
+            MixtureResNet,
+            MultiTaskModelMixture,
+            ShallowEmbedding,
+        )
+
+        dtype = _DTYPES[p.get("compute_dtype", "bfloat16")]
+        tasks = [t.name for t in p["TASKS"]]
+        input_dim = int(p.get("mixture_input_dim", 10))
+        return MultiTaskModelMixture(
+            backbone=MixtureResNet(tasks=tasks, input_dim=input_dim,
+                                   dtype=dtype),
+            prior=ShallowEmbedding(out_dim=input_dim, dtype=dtype),
+            decoders={t.name: build_head(p, t.name, t.num_output)
+                      for t in p["TASKS"]},
+            tasks=tasks,
+        )
 
     if p["backbone"] in ("TokenVisionTransformer_moe", "token_moe"):
         from m3vit_tpu.models.token_moe import (

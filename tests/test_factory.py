@@ -84,3 +84,26 @@ def test_token_backbone_factory():
     model = build_model(p, mesh=None, expert_axis=None)
     out = _fwd(model, jnp.ones((1, IMG, IMG, 3)))
     assert out["semseg"].shape == (1, IMG, IMG, 40)
+
+
+def test_mixture_baseline_factory():
+    p = make_p(model="mixture_baseline", backbone="resnet50", head="deeplab")
+    model = build_model(p, mesh=None, expert_axis=None)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.ones((1, IMG, IMG, 3)), train=False,
+    )
+    (out, cv, stats), _ = model.apply(
+        variables, jnp.ones((1, IMG, IMG, 3)), train=True,
+        mutable=["batch_stats"], rngs={"dropout": jax.random.key(2)},
+    )
+    assert out["semseg"].shape == (1, IMG, IMG, 40)
+    assert "gate_density" in stats
+    # with all-ones gate init and positive embedding path, gates start dense
+    assert 0.0 <= float(stats["gate_density"]) <= 1.0
+    # single-task sparse pathway
+    (out1, _, _), _ = model.apply(
+        variables, jnp.ones((1, IMG, IMG, 3)), train=False,
+        single_task="depth", mutable=["batch_stats"],
+    )
+    assert list(out1.keys()) == ["depth"]
