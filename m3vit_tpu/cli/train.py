@@ -72,6 +72,9 @@ def parse_args(argv=None):
                     help="backbone params msgpack (pretrain export) or "
                          "reference DeiT .pth to warm-start from")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--ckp", default=None,
+                    help="explicit checkpoint dir for --eval/--resume "
+                         "(defaults to the run's checkpoint dir)")
     ap.add_argument("--dev_test", action="store_true",
                     help="run one eval before training")
     ap.add_argument("--overfit", action="store_true")
@@ -214,15 +217,14 @@ def run(args) -> Dict:
 
     start_epoch = 0
     if args.resume or args.eval:
-        restored, meta = restore_checkpoint(p["checkpoint_dir"], state)
+        ckpt_dir = args.ckp or p["checkpoint_dir"]
+        restored, meta = restore_checkpoint(ckpt_dir, state)
         if restored is not None:
             state = restored
             start_epoch = int(meta.get("epoch", -1)) + 1
             print(f"resumed from epoch {start_epoch - 1}")
         elif args.eval:
-            raise FileNotFoundError(
-                f"--eval needs a checkpoint in {p['checkpoint_dir']}"
-            )
+            raise FileNotFoundError(f"--eval needs a checkpoint in {ckpt_dir}")
 
     train_step = make_train_step(model, tasks, loss_fns, loss_weights,
                                  cv_weight=float(args.moe_noisy_gate_loss_weight))
