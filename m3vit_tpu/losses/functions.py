@@ -29,13 +29,21 @@ def softmax_ce_loss(logits: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
     logits: [B, H, W, C]; label: [B, H, W, 1] (float or int labels).
     Matches nn.NLLLoss(ignore_index=255)(LogSoftmax(out), label): the mean is
     taken over non-ignored elements only.
+
+    The selected logit is extracted with a one-hot contraction, NOT
+    take_along_axis: XLA lowers the per-pixel gather over [B,512,512,C] to a
+    serialized op costing ~100ms/step on v5e (profiled); the one-hot
+    multiply-reduce fuses cleanly on the VPU.
     """
     lab = label[..., 0].astype(jnp.int32)  # [B, H, W]
     valid = lab != 255
     safe_lab = jnp.where(valid, lab, 0)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_lab[..., None], axis=-1)[..., 0]
-    nll = jnp.where(valid, nll, 0.0)
+    logits = logits.astype(jnp.float32)
+    # nll = logsumexp(logits) - logits[label]
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    one_hot = jax.nn.one_hot(safe_lab, logits.shape[-1], dtype=jnp.float32)
+    picked = (logits * one_hot).sum(axis=-1)
+    nll = jnp.where(valid, lse - picked, 0.0)
     n_valid = jnp.maximum(valid.sum(), 1)
     return nll.sum() / n_valid
 
