@@ -123,7 +123,7 @@ def build_everything(args, p):
     if args.n_data * n_expert > 1:
         mesh = make_mesh(args.n_data, n_expert)
     model = build_model(p, mesh=mesh, expert_axis="expert" if mesh else None)
-    return model, mesh
+    return model, mesh, args.n_data * n_expert
 
 
 def run(args) -> Dict:
@@ -148,18 +148,16 @@ def run(args) -> Dict:
     print(f"devices: {jax.devices()}")
     print(f"tasks: {p['TASK_NAMES']}")
 
-    model, mesh = build_everything(args, p)
+    model, mesh, n_devices = build_everything(args, p)
     tasks = list(p["TASK_NAMES"])
     loss_fns = {t: loss_fn_for_task(t, p) for t in tasks}
     loss_weights = dict(
         (p.get("loss_kwargs") or {}).get("loss_weights", {t: 1.0 for t in tasks})
     )
 
-    # data
-    batch_size = int(p.get("trBatch", 2)) * max(len(jax.devices()), 1)
-    val_batch = int(p.get("valBatch", p.get("trBatch", 2))) * max(
-        len(jax.devices()), 1
-    )
+    # data: per-device batch x number of mesh devices actually used
+    batch_size = int(p.get("trBatch", 2)) * n_devices
+    val_batch = int(p.get("valBatch", p.get("trBatch", 2))) * n_devices
     if args.synthetic:
         train_loader = SyntheticLoader(p["TASKS"], args.synthetic, batch_size,
                                        p["train_scale"])
