@@ -61,6 +61,10 @@ def parse_args(argv=None):
     # mesh
     ap.add_argument("--n_data", type=int, default=1)
     ap.add_argument("--n_expert", type=int, default=None)
+    ap.add_argument("--multihost", action="store_true",
+                    help="initialize jax.distributed (multi-host TPU pod; "
+                         "the torchrun/slurm-launcher equivalent, reference "
+                         "train_fastmoe.py:268-312)")
     # run control
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--trBatch", type=int, default=None)
@@ -127,6 +131,10 @@ def build_everything(args, p):
 
 
 def run(args) -> Dict:
+    if args.multihost:
+        # coordinator/process env comes from the TPU pod runtime
+        jax.distributed.initialize()
+        print(f"multihost: process {jax.process_index()}/{jax.process_count()}")
     overrides = {
         k: getattr(args, k)
         for k in ("moe_experts", "moe_top_k", "vmoe_noisy_std",
