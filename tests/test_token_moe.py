@@ -168,3 +168,25 @@ def test_token_backbone_with_tca():
         v, x, train=True, rngs={"gate_noise": jax.random.key(3)}
     )
     assert np.isfinite(np.asarray(streams[0])).all()
+
+
+def test_token_backbone_expert_parallel(mesh8):
+    model = tiny_token_backbone(mesh=mesh8, expert_axis="expert")
+    x = jax.random.normal(jax.random.key(0), (8, IMG, IMG, 3))
+    v = model.init(
+        {"params": jax.random.key(1), "gate_noise": jax.random.key(2)},
+        x, train=False,
+    )
+    from m3vit_tpu.parallel.mesh import batch_sharding, param_shardings
+
+    params = jax.device_put(v["params"], param_shardings(v["params"], mesh8))
+    xs = jax.device_put(x, batch_sharding(mesh8))
+    streams, aux, _ = jax.jit(
+        lambda p, xx: model.apply({"params": p}, xx, train=False)
+    )(params, xs)
+    assert np.isfinite(np.asarray(streams[0])).all()
+    # equal to the unsharded run
+    local = tiny_token_backbone()
+    s2, _, _ = local.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(streams[0]), np.asarray(s2[0]),
+                               atol=2e-4)
