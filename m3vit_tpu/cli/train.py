@@ -29,7 +29,7 @@ from m3vit_tpu.data.loader import (EpochLoader, device_put_batches,
 from m3vit_tpu.data.synthetic import synthetic_batch
 from m3vit_tpu.data.transforms import get_transformations
 from m3vit_tpu.evaluation.orchestrate import evaluate_online, validate_results
-from m3vit_tpu.losses.functions import loss_fn_for_task
+from m3vit_tpu.losses.schemes import build_loss_fns
 from m3vit_tpu.models.factory import build_model
 from m3vit_tpu.parallel.mesh import batch_sharding, make_mesh, shard_train_state
 from m3vit_tpu.train.optim import build_optimizer
@@ -158,7 +158,7 @@ def run(args) -> Dict:
 
     model, mesh, n_devices = build_everything(args, p)
     tasks = list(p["TASK_NAMES"])
-    loss_fns = {t: loss_fn_for_task(t, p) for t in tasks}
+    loss_fns = build_loss_fns(p)
     loss_weights = dict(
         (p.get("loss_kwargs") or {}).get("loss_weights", {t: 1.0 for t in tasks})
     )
@@ -232,8 +232,12 @@ def run(args) -> Dict:
         elif args.eval:
             raise FileNotFoundError(f"--eval needs a checkpoint in {ckpt_dir}")
 
+    # cv loss only when enabled (reference gates it on args.use_cv_loss,
+    # train_utils.py:440-449)
+    cv_w = float(args.moe_noisy_gate_loss_weight) if p.get("use_cv_loss") \
+        else 0.0
     train_step = make_train_step(model, tasks, loss_fns, loss_weights,
-                                 cv_weight=float(args.moe_noisy_gate_loss_weight))
+                                 cv_weight=cv_w)
     eval_step = make_eval_step(model, tasks)
 
     def run_eval(epoch: int) -> Dict:

@@ -89,7 +89,6 @@ class EpochLoader:
         drop_last: bool = True,
         seed: int = 0,
         num_workers: int = 8,
-        transform_rng: bool = True,
         prefetch: int = 2,
     ):
         self.dataset = dataset
@@ -98,7 +97,6 @@ class EpochLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.num_workers = num_workers
-        self.transform_rng = transform_rng
         self.prefetch = prefetch
 
     def __len__(self):
@@ -123,17 +121,27 @@ class EpochLoader:
             q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
             stop = threading.Event()
 
+            def put(item):
+                # bounded put that aborts when the consumer abandoned the
+                # generator (otherwise the thread pins batches forever)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
+
             def producer():
                 try:
                     for b in range(nb):
                         lo = b * self.batch_size
                         hi = min(lo + self.batch_size, n)
                         samples = list(pool.map(fetch, range(lo, hi)))
-                        if stop.is_set():
+                        if not put(collate(samples)):
                             return
-                        q.put(collate(samples))
                 finally:
-                    q.put(None)
+                    put(None)
 
             t = threading.Thread(target=producer, daemon=True)
             t.start()

@@ -281,14 +281,12 @@ class TokenBlock(nn.Module):
             )
             outs = outs.at[t].add(delta * ts_mask[t][..., None].astype(delta.dtype))
 
-            # cv loss over TS (computed) tokens only (reference :795-801)
-            masked_gate = gate._replace(
-                gates=gate.gates * tsm[:, None],
-                clean_logits=gate.clean_logits,
-                noisy_logits=gate.noisy_logits,
-            )
+            # cv loss over TS (computed) tokens only (reference :795-801):
+            # row-mask both the importance (via gates) and the smooth load
+            masked_gate = gate._replace(gates=gate.gates * tsm[:, None])
             cv_total = cv_total + moe_aux_loss(
-                masked_gate, self.moe_top_k, E, train
+                masked_gate, self.moe_top_k, E, train,
+                row_mask=tsm.astype(jnp.float32),
             )
 
         # shared FFN once for shared positions (reference :1001-1014)

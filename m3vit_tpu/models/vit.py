@@ -132,21 +132,23 @@ class DenseBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        dp_rng = None
+        dp_rng1 = dp_rng2 = None
         if self.drop_path_rate > 0 and train:
-            dp_rng = self.make_rng("dropout")
+            # independent stochastic-depth masks per residual branch
+            dp_rng1 = self.make_rng("dropout")
+            dp_rng2 = self.make_rng("dropout")
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         h = Attention(
             self.num_heads, self.qkv_bias, self.qk_scale, self.attn_drop,
             self.drop, dtype=self.dtype, name="attn",
         )(h.astype(self.dtype), train)
-        x = x + drop_path(h, self.drop_path_rate, train, dp_rng)
+        x = x + drop_path(h, self.drop_path_rate, train, dp_rng1)
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         h = MlpBlock(
             int(x.shape[-1] * self.mlp_ratio), drop=self.drop, dtype=self.dtype,
             name="mlp",
         )(h.astype(self.dtype), train)
-        return x + drop_path(h, self.drop_path_rate, train, dp_rng)
+        return x + drop_path(h, self.drop_path_rate, train, dp_rng2)
 
 
 class VisionTransformer(nn.Module):

@@ -111,13 +111,16 @@ def build_sem_force_routing(
     return full_idx, full_mask
 
 
-def _regu_subimage_loss(patch_logits: jnp.ndarray, sub: int) -> jnp.ndarray:
+def _regu_subimage_loss(patch_logits: jnp.ndarray, sub: int,
+                        side_h: int = 0, side_w: int = 0) -> jnp.ndarray:
     """KL(subimage token routing || subimage top-2 consensus)
-    (reference noisy_gate_vmoe.py:139-162).  patch_logits: [B, Np, E] with a
-    square-ish grid; grouped into sub x sub windows."""
+    (reference noisy_gate_vmoe.py:139-162).  patch_logits: [B, Np, E] on the
+    (side_h, side_w) patch grid; grouped into sub x sub windows."""
     B, Np, E = patch_logits.shape
-    side_h = int(round(Np ** 0.5))
-    side_w = Np // side_h
+    if side_h <= 0 or side_w <= 0:
+        side_h = int(round(Np ** 0.5))
+        side_w = Np // side_h
+    assert side_h * side_w == Np or side_h * side_w <= Np
     usable_h = (side_h // sub) * sub
     usable_w = (side_w // sub) * sub
     if usable_h == 0 or usable_w == 0:  # grid smaller than one subimage
@@ -191,6 +194,7 @@ class MoEMlp(nn.Module):
     regu_sem_num_classes: int = 40
     regu_subimage: bool = False
     subimage_tokens: int = 5
+    patch_grid: Tuple[int, int] = (0, 0)  # true (h, w) grid for regu_subimage
     gate_type: str = "noisy_vmoe"  # 'noisy_vmoe' | 'noisy' (gates.py:195-280)
 
     @nn.compact
@@ -263,8 +267,22 @@ class MoEMlp(nn.Module):
                 starts.append(s)
             start = jnp.take(jnp.asarray(starts, jnp.int32),
                              jnp.clip(task_id, 0, self.num_tasks - 1))
-            w_gate = jax.lax.dynamic_slice_in_dim(w_gate, start, npt, axis=1)
-            idx_offset = start
+            # reference slices w_gate[:, start:start+npt]; torch silently
+            # NARROWS the window when start+npt > E (noisy_gate_vmoe.py:88).
+            # Static shapes: slice at a clamped start and -inf-mask the
+            # columns before the true start so the usable expert set matches
+            # the reference's narrowed window exactly.
+            start_c = jnp.minimum(start, E - npt)
+            w_gate = jax.lax.dynamic_slice_in_dim(w_gate, start_c, npt, axis=1)
+            col = jnp.arange(npt)
+            window_mask = (start_c + col) >= start  # [npt] bool
+            if expert_mask is None:
+                expert_mask = window_mask
+            else:
+                expert_mask = jax.lax.dynamic_slice_in_dim(
+                    expert_mask, start_c, npt
+                ) & window_mask
+            idx_offset = start_c
 
         rng = self.make_rng("gate_noise") if train else None
         if self.gate_type == "noisy":
@@ -352,7 +370,8 @@ class MoEMlp(nn.Module):
                 regu["semregu_loss"] = jnp.where(valid, nll, 0.0).sum() /                     jnp.maximum(valid.sum(), 1)
             if self.regu_subimage:
                 regu["regu_subimage_loss"] = _regu_subimage_loss(
-                    patch_logits, self.subimage_tokens
+                    patch_logits, self.subimage_tokens,
+                    self.patch_grid[0], self.patch_grid[1],
                 )
 
         return out.astype(x.dtype), gate, regu
@@ -388,6 +407,7 @@ class MoEBlock(nn.Module):
     num_experts_pertask: int = -1
     regu_sem: bool = False
     regu_subimage: bool = False
+    patch_grid: Tuple[int, int] = (0, 0)
     gate_type: str = "noisy_vmoe"
 
     @nn.compact
@@ -403,16 +423,17 @@ class MoEBlock(nn.Module):
         gate_inp_tokens: Optional[jnp.ndarray] = None,
         sem_patch: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
-        dp_rng = None
+        dp_rng1 = dp_rng2 = None
         if self.drop_path_rate > 0 and train:
-            dp_rng = self.make_rng("dropout")
+            dp_rng1 = self.make_rng("dropout")
+            dp_rng2 = self.make_rng("dropout")
 
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         h = Attention(
             self.num_heads, self.qkv_bias, self.qk_scale, self.attn_drop,
             self.drop, dtype=self.dtype, name="attn",
         )(h.astype(self.dtype), train)
-        x = x + drop_path(h, self.drop_path_rate, train, dp_rng)
+        x = x + drop_path(h, self.drop_path_rate, train, dp_rng1)
 
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         moe_out, gate, regu = MoEMlp(
@@ -435,6 +456,7 @@ class MoEBlock(nn.Module):
             num_experts_pertask=self.num_experts_pertask,
             regu_sem=self.regu_sem,
             regu_subimage=self.regu_subimage,
+            patch_grid=self.patch_grid,
             gate_type=self.gate_type,
             name="mlp",
         )(h.astype(self.dtype), task_id, task_feature, train,
@@ -442,7 +464,7 @@ class MoEBlock(nn.Module):
           sem_patch)
         if self.drop > 0 and train:
             moe_out = nn.Dropout(self.drop, deterministic=False)(moe_out)
-        x = x + drop_path(moe_out, self.drop_path_rate, train, dp_rng)
+        x = x + drop_path(moe_out, self.drop_path_rate, train, dp_rng2)
 
         if self.gate_type == "noisy":
             cv_loss = moe_aux_loss_noisy(gate, self.moe_top_k,
@@ -621,6 +643,8 @@ class VisionTransformerMoE(nn.Module):
                     num_experts_pertask=self.num_experts_pertask,
                     regu_sem=self.regu_sem,
                     regu_subimage=self.regu_subimage,
+                    patch_grid=(self.img_size[0] // self.patch_size,
+                                self.img_size[1] // self.patch_size),
                     gate_type=self.moe_gate_type,
                     name=f"block_{i}",
                 )(tokens, task_id, task_feature, train, expert_mask,

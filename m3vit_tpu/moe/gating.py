@@ -151,12 +151,16 @@ def cv_squared(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def moe_aux_loss(
-    gate: GateOutput, top_k: int, num_experts: int, train: bool
+    gate: GateOutput, top_k: int, num_experts: int, train: bool,
+    row_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """cv²(importance) + cv²(load) for one MoE block.
 
     Load uses the smooth estimator when noise is active, else the hard count
     (reference: ckpt/vision_transformer_moe.py:452-459, 538-542).
+    row_mask ([T] bool): restrict the statistics to these tokens (the token
+    variant computes cv over computed/TS tokens only, reference
+    token/vision_transformer_moe.py:794-801).
     """
     if not train:
         return jnp.asarray(0.0, jnp.float32)
@@ -169,9 +173,13 @@ def moe_aux_loss(
             jnp.maximum(gate.noise_stddev, 1e-20),
             gate.top_logits,
             top_k,
-        ).sum(axis=0)
+        )
+        if row_mask is not None:
+            smooth = smooth * row_mask[:, None]
+        smooth = smooth.sum(axis=0)
         hard = gate_load_counts(gate)
-        load = jnp.where(jnp.abs(gate.noise_stddev) > 1e-6, smooth, hard)
+        load = jnp.where(jnp.abs(jnp.max(gate.noise_stddev)) > 1e-6, smooth,
+                         hard)
     else:
         load = gate_load_counts(gate)
     return cv_squared(importance) + cv_squared(load)

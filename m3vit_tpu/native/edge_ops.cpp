@@ -72,8 +72,9 @@ void match_boundaries(const uint8_t* pred, const uint8_t* gt, int h, int w,
         return;
     }
 
-    // bucket GT pixels into a grid of cell size r for local search
-    int r = std::max(1, (int)std::floor(max_dist));
+    // bucket GT pixels into a grid of cell size r >= max_dist so the
+    // +-1-cell neighbourhood always covers the search radius
+    int r = std::max(1, (int)std::ceil(max_dist));
     int gh = (h + r - 1) / r, gw = (w + r - 1) / r;
     std::vector<std::vector<int>> grid(gh * gw);
     for (int gi : gt_pts)

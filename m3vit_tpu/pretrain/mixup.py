@@ -46,7 +46,9 @@ def mixup_cutmix(
     lam_c = jax.random.beta(r_lam_c, cutmix_alpha, cutmix_alpha)
     cut_ratio = jnp.sqrt(1.0 - lam_c)
     ch, cw = (cut_ratio * H).astype(jnp.int32), (cut_ratio * W).astype(jnp.int32)
-    ry, rx = jax.random.randint(r_pos, (2,), 0, max(H, 1))
+    r_y, r_x = jax.random.split(r_pos)
+    ry = jax.random.randint(r_y, (), 0, max(H, 1))
+    rx = jax.random.randint(r_x, (), 0, max(W, 1))
     y0 = jnp.clip(ry - ch // 2, 0, H)
     x0 = jnp.clip(rx - cw // 2, 0, W)
     y1 = jnp.clip(ry + ch // 2, 0, H)

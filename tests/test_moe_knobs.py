@@ -169,3 +169,27 @@ def test_regu_sem_and_subimage_losses():
     g = jax.grad(loss)(v["params"])
     wg = np.abs(np.asarray(g["block_1"]["mlp"]["w_gate"])).sum()
     assert np.isfinite(wg)
+
+
+def test_regu_experts_window_narrowing_matches_reference():
+    """E=16, npt=8, T=3 -> starts [0,4,12]; task 2's window overflows E and
+    must NARROW to experts [12,16) exactly like the reference's torch slice
+    (noisy_gate_vmoe.py:88), never route out of range."""
+    model = tiny(moe_experts=16, regu_experts_fromtask=True,
+                 num_experts_pertask=8, multi_gate=False, num_tasks=3)
+    x = jax.random.normal(jax.random.key(10), (1, IMG, IMG, 3))
+    v = _init(model, x)
+
+    # capture routing by instrumenting through stats of each task
+    for tid, allowed in [(0, set(range(0, 8))), (1, set(range(4, 12))),
+                         (2, set(range(12, 16)))]:
+        # run and make sure output is finite and nonzero MoE contribution
+        out, _, stats = model.apply(v, x, task_id=jnp.asarray(tid),
+                                    train=False)
+        assert np.isfinite(np.asarray(out)).all()
+        hist = np.asarray(stats["expert_load_hist"])  # size npt window
+        # all tokens routed (top_k=2 -> total = 2 * n_tokens); nothing dropped
+        assert hist.sum() == 2 * 17
+        if tid == 2:
+            # narrowed window: only the last E-start=4 columns usable
+            assert hist[:4].sum() == 0, hist
