@@ -81,6 +81,10 @@ def parse_args(argv=None):
                          "(defaults to the run's checkpoint dir)")
     ap.add_argument("--dev_test", action="store_true",
                     help="run one eval before training")
+    ap.add_argument("--save_predictions", action="store_true",
+                    help="with --eval: write per-image predictions to "
+                         "save_dir and score the files (reference "
+                         "save_model_predictions/eval_all_results protocol)")
     ap.add_argument("--overfit", action="store_true")
     ap.add_argument("--synthetic", type=int, default=0, metavar="NBATCH",
                     help="train on N synthetic batches/epoch (no dataset needed)")
@@ -284,6 +288,26 @@ def run(args) -> Dict:
         return {}
 
     if args.eval:
+        if args.save_predictions:
+            from m3vit_tpu.evaluation.orchestrate import (
+                eval_saved_predictions,
+                save_model_predictions,
+            )
+
+            batches = val_loader.epoch(start_epoch)
+            if bsh is not None:
+                batches = (pad_batch(b, val_batch) for b in batches)
+                batches = device_put_batches(batches, bsh)
+            save_dir = save_model_predictions(p, eval_step, state, batches)
+            print(f"predictions written to {save_dir}")
+            if not args.synthetic:
+                ts = get_transformations(p)[1]
+                ds = get_dataset(p, "val", None, overfit=p["overfit"])
+                results = eval_saved_predictions(p, save_dir, ds)
+                logger.log_val_performance(results, start_epoch)
+                print("file-protocol results:", _plain(results))
+                return results
+            return {}
         return run_eval(start_epoch)
     if args.dev_test:
         run_eval(start_epoch)
