@@ -17,7 +17,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "edge_ops.cpp")
-_LIB = os.path.join(_HERE, "libedge_ops.so")
+_LIB = os.path.join(_HERE, "edge_ops_lib.bin")
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
