@@ -480,11 +480,21 @@ class MoEBlock(nn.Module):
 
         tk = jax.lax.stop_gradient(gate.top_k_gates.astype(jnp.float32))
         ent = -(tk * jnp.log(jnp.clip(tk, 1e-12))).sum(-1)
+        load_hist = jax.lax.stop_gradient(gate_load_counts(gate))
+        # fraction of routed slots beyond static capacity (dropped by the
+        # dispatcher) — the knob for tuning capacity_factor
+        from m3vit_tpu.moe.dispatch import compute_capacity
+
+        cf = self.capacity_factor if train else self.eval_capacity_factor
+        cap = compute_capacity(tk.shape[0], self.moe_top_k, self.moe_experts,
+                               cf)
+        overflow = jnp.maximum(load_hist - cap, 0.0).sum()
         stats = {
             "gate_entropy_sum": ent.sum(),
             "top1_prob_sum": tk.max(-1).sum(),
             "gate_token_count": jnp.asarray(tk.shape[0], jnp.float32),
-            "expert_load_hist": jax.lax.stop_gradient(gate_load_counts(gate)),
+            "expert_load_hist": load_hist,
+            "dropped_slot_fraction": overflow / (tk.shape[0] * self.moe_top_k),
         }
         stats.update(regu)
         return x, cv_loss, stats

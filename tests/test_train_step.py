@@ -149,3 +149,31 @@ def test_gradient_accumulation_equivalence():
     b = jax.tree.leaves(s_acc2.params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+def test_poly_schedule_epoch_constant():
+    """LR constant within an epoch, poly-decayed across epochs
+    (reference adjust_learning_rate, common_config.py:914-916)."""
+    from m3vit_tpu.train.optim import poly_lr
+
+    sched = poly_lr(0.01, epochs=10, steps_per_epoch=100)
+    assert float(sched(0)) == float(sched(99))
+    assert float(sched(100)) == float(sched(199))
+    expected_e1 = 0.01 * (1 - 1 / 10) ** 0.9
+    assert abs(float(sched(100)) - expected_e1) < 1e-9
+    assert float(sched(900)) < float(sched(100))
+
+
+def test_dropped_slot_fraction_stat():
+    model = build_tiny_model()
+    batch = synthetic_batch(jax.random.key(0), TASKS, 2, (IMG, IMG))
+    variables = model.init(
+        {"params": jax.random.key(1), "gate_noise": jax.random.key(2)},
+        batch["image"], train=False,
+    )
+    (_, _, stats), _ = model.apply(
+        variables, batch["image"], train=False, mutable=["batch_stats"]
+    )
+    frac = float(stats["dropped_slot_fraction"])
+    # capacity_factor 8.0 in the tiny model -> nothing dropped
+    assert frac == 0.0
