@@ -49,6 +49,9 @@ def parse_args(argv=None):
     ap.add_argument("--moe_top_k", type=int, default=4)
     ap.add_argument("--moe_mlp_ratio", type=float, default=1.0)
     ap.add_argument("--moe_cv_weight", type=float, default=0.01)
+    ap.add_argument("--dense", action="store_true",
+                    help="dense DeiT baseline, no MoE (the reference's "
+                         "pretrain/Dense_DeiT.py)")
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--warmup_epochs", type=int, default=5)
@@ -96,6 +99,25 @@ def imagefolder_loader(args):
 
 
 def build_model(args) -> MoEViTForClassification:
+    if args.dense:
+        from m3vit_tpu.models.vit import VisionTransformer
+
+        class DenseEncoder(VisionTransformer):
+            # classification wrapper expects (tokens, cv, stats)
+            def __call__(self, x, task_id=None, train=False):
+                toks = super().__call__(x, task_id=task_id, train=train)
+                import jax.numpy as _jnp
+
+                return toks, _jnp.asarray(0.0, _jnp.float32), {}
+
+        encoder = DenseEncoder(
+            img_size=(args.img_size, args.img_size), patch_size=16,
+            embed_dim=args.embed_dim, depth=args.depth,
+            num_heads=args.num_heads, drop_path_rate=args.drop_path,
+            dtype=jnp.bfloat16, use_checkpointing=True,
+        )
+        return MoEViTForClassification(encoder=encoder,
+                                       num_classes=args.num_classes)
     encoder = VisionTransformerMoE(
         img_size=(args.img_size, args.img_size),
         patch_size=16,
@@ -125,10 +147,9 @@ def main(argv=None):
         loader, steps_per_epoch = imagefolder_loader(args)
 
     model = build_model(args)
-    schedule = optax.warmup_cosine_decay_schedule(
-        0.0, args.lr, args.warmup_epochs * steps_per_epoch,
-        args.epochs * steps_per_epoch,
-    )
+    warmup = args.warmup_epochs * steps_per_epoch
+    total = max(args.epochs * steps_per_epoch, warmup + 1)
+    schedule = optax.warmup_cosine_decay_schedule(0.0, args.lr, warmup, total)
     tx = optax.adamw(schedule, weight_decay=args.weight_decay)
 
     sample_x = jnp.zeros((2, args.img_size, args.img_size, 3))
