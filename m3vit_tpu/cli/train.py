@@ -49,6 +49,9 @@ def parse_args(argv=None):
     ap.add_argument("--moe_experts", type=int, default=None)
     ap.add_argument("--moe_top_k", type=int, default=None)
     ap.add_argument("--multi_gate", action="store_true")
+    ap.add_argument("--stacked_tasks", action="store_true",
+                    help="fuse the per-task multi-gate backbone passes into "
+                         "one [T*B] pass (TPU-first; same params/metrics)")
     ap.add_argument("--moe_gate_type", default="noisy_vmoe")
     ap.add_argument("--vmoe_noisy_std", type=float, default=None)
     ap.add_argument("--moe_noisy_gate_loss_weight", type=float, default=0.01)
@@ -148,6 +151,8 @@ def run(args) -> Dict:
         if getattr(args, k) is not None
     }
     overrides["multi_gate"] = args.multi_gate
+    if args.stacked_tasks:
+        overrides["stacked_tasks"] = True
     overrides["use_cv_loss"] = args.use_cv_loss
     overrides["use_checkpointing"] = args.use_checkpointing
     if args.overfit:

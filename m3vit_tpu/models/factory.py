@@ -301,4 +301,5 @@ def build_model(p, mesh=None, expert_axis: Optional[str] = "expert"):
         tam=tam,
         tam_levels=tam_levels,
         num_outputs={t.name: t.num_output for t in p["TASKS"]},
+        stacked_tasks=bool(p.get("stacked_tasks", False)),
     )

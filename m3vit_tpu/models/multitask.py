@@ -54,6 +54,12 @@ class MultiTaskModel(nn.Module):
     tam: bool = False
     tam_levels: Tuple[bool, bool, bool] = (True, True, True)
     num_outputs: Optional[Dict[str, int]] = None
+    # fuse the per-task multi-gate backbone passes into ONE pass over a
+    # task-major [T*B] stacked token batch (TPU-first: one XLA graph, the
+    # patch embed runs once, per-task cv loss preserved via segmented
+    # statistics).  Parameters are identical to the sequential form, so
+    # checkpoints are interchangeable.
+    stacked_tasks: bool = False
 
     def _run_backbone(self, x, task_id: Optional[int], train: bool):
         tid = None if task_id is None else jnp.asarray(task_id, jnp.int32)
@@ -93,7 +99,18 @@ class MultiTaskModel(nn.Module):
                 return pred
             return ret
 
-        if self.multi_gate:
+        if self.multi_gate and self.stacked_tasks:
+            # one fused backbone pass over the task-major [T*B] stack
+            T = len(self.tasks)
+            tids = jnp.arange(T, dtype=jnp.int32)
+            feats, total_cv, stats = self.backbone(
+                x, task_id=tids, train=train, stacked_tasks=True
+            )
+            per_task = feats.reshape((T, x.shape[0]) + feats.shape[1:])
+            for i, task in enumerate(self.tasks):
+                out[task] = resize_bilinear(decode(task, per_task[i]),
+                                            out_size)
+        elif self.multi_gate:
             # one backbone pass per task, each with its own router set
             for i, task in enumerate(self.tasks):
                 feats, cv, st = self._run_backbone(x, i, train)

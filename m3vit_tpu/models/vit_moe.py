@@ -233,6 +233,19 @@ class MoEMlp(nn.Module):
             )
             gate_inp = jnp.concatenate([gate_inp, feat], axis=-1)
 
+        stacked = task_id is not None and getattr(task_id, "ndim", 0) == 1
+        if stacked:
+            assert self.multi_gate, "vector task_id requires multi_gate"
+            assert not self.regu_experts_fromtask, (
+                "stacked tasks unsupported with regu_experts_fromtask"
+            )
+            assert self.gate_type == "noisy_vmoe", (
+                "stacked tasks only implemented for the vmoe gate"
+            )
+            assert task_id.shape[0] == B, (
+                f"per-sample task_id {task_id.shape} vs batch {B}"
+            )
+
         if self.multi_gate:
             assert self.num_tasks > 0, "multi_gate requires num_tasks"
             w_gate_shape = (self.num_tasks, d_gate, E)
@@ -300,15 +313,28 @@ class MoEMlp(nn.Module):
                 rng=rng, expert_mask=expert_mask,
             )
         else:
+            pre_logits = None
+            w_for_gate = w_gate
+            if stacked:
+                # per-row gate logits against each row's task router; the
+                # gate weights are tiny ([B, d, E]) so this batched einsum
+                # costs ~nothing next to the expert FFNs
+                gi3 = gate_inp.reshape(B, N, d_gate)
+                pre_logits = jnp.einsum(
+                    "bnd,bde->bne", gi3, w_gate.astype(jnp.float32),
+                    precision="highest",
+                ).reshape(-1, E)
+                w_for_gate = w_gate[0]
             gate = noisy_vmoe_gate(
                 gate_inp,
-                w_gate,
+                w_for_gate,
                 top_k=self.top_k,
                 noise_std=self.vmoe_noisy_std,
                 train=train,
                 rng=rng,
                 expert_mask=expert_mask,
                 build_dense_gates=False,
+                clean_logits=pre_logits,
             )
 
         top_idx = gate.top_k_indices.reshape(B, N, self.top_k)
@@ -409,6 +435,11 @@ class MoEBlock(nn.Module):
     regu_subimage: bool = False
     patch_grid: Tuple[int, int] = (0, 0)
     gate_type: str = "noisy_vmoe"
+    # stacked multi-gate: task_id is a per-SAMPLE [B] vector (task-major
+    # equal groups of cv_segments tasks); cv loss is computed per segment and
+    # summed, matching the reference's one-backbone-pass-per-task loop
+    # (models/models.py:299-320) exactly
+    cv_segments: int = 1
 
     @nn.compact
     def __call__(
@@ -471,7 +502,7 @@ class MoEBlock(nn.Module):
                                          self.moe_experts, train)
         else:
             cv_loss = moe_aux_loss(gate, self.moe_top_k, self.moe_experts,
-                                   train)
+                                   train, segments=self.cv_segments)
 
         # MoE analysis stats (reference _ckpt_main_moe :461-480), detached.
         # Sparse top-k probs carry the same entropy/top1/hist information as
@@ -553,6 +584,8 @@ class VisionTransformerMoE(nn.Module):
         sem: Optional[jnp.ndarray] = None,  # [B, H, W(, 1)] semseg labels
         expert_mask: Optional[jnp.ndarray] = None,  # [E] bool routing mask
         gate_inp: Optional[jnp.ndarray] = None,  # [B, 1+N, C_g] decoupled gate
+        stacked_tasks: bool = False,  # task_id is a [T] vector: one fused
+        # pass computes every task's routing (returns [T*B, 1+N, C])
     ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
         B = x.shape[0]
         num_patches = (self.img_size[0] // self.patch_size) * (
@@ -579,6 +612,25 @@ class VisionTransformerMoE(nn.Module):
             (1, num_patches + num_extra, self.embed_dim), jnp.float32,
         )
         tokens = tokens + pos.astype(self.dtype)
+
+        # stacked multi-gate: embed ONCE at B (keeps the patch-embed conv
+        # small), then tile the token stream task-major to [T*B, 1+N, C] and
+        # hand each row its task's router.  One fused XLA graph replaces the
+        # reference's sequential one-backbone-pass-per-task loop
+        # (models/models.py:299-320); dropout/drop-path/gate noise are drawn
+        # independently per row below, statistically matching the per-pass
+        # draws of the sequential form.
+        n_stack = 1
+        if stacked_tasks:
+            assert self.multi_gate and task_id is not None \
+                and task_id.ndim == 1, "stacked_tasks needs multi_gate + [T] ids"
+            n_stack = task_id.shape[0]
+            tokens = jnp.broadcast_to(
+                tokens[None], (n_stack,) + tokens.shape
+            ).reshape((n_stack * B,) + tokens.shape[1:])
+            task_id = jnp.repeat(task_id, B)  # per-sample, task-major
+            B = n_stack * B
+
         if self.drop_rate > 0 and train:
             tokens = nn.Dropout(self.drop_rate, deterministic=False)(tokens)
 
@@ -616,12 +668,20 @@ class VisionTransformerMoE(nn.Module):
         if (self.sem_force or self.regu_sem or self.regu_subimage) \
                 and sem is not None:
             patch_sem = patch_majority_labels(sem, self.patch_size)  # [B,h,w]
-            patch_sem = patch_sem.reshape(B, -1)
+            patch_sem = patch_sem.reshape(sem.shape[0], -1)
             sem_patch = patch_sem
             if self.sem_force:
                 sem_force_idx, sem_force_mask = build_sem_force_routing(
                     patch_sem, self.moe_top_k, num_extra
                 )
+        if n_stack > 1:
+            tile = lambda a: None if a is None else jnp.concatenate(  # noqa: E731
+                [a] * n_stack, axis=0
+            )
+            sem_patch = tile(sem_patch)
+            sem_force_idx = tile(sem_force_idx)
+            sem_force_mask = tile(sem_force_mask)
+            gate_inp = tile(gate_inp)
 
         total_cv = jnp.asarray(0.0, jnp.float32)
         agg = None
@@ -656,6 +716,7 @@ class VisionTransformerMoE(nn.Module):
                     patch_grid=(self.img_size[0] // self.patch_size,
                                 self.img_size[1] // self.patch_size),
                     gate_type=self.moe_gate_type,
+                    cv_segments=n_stack,
                     name=f"block_{i}",
                 )(tokens, task_id, task_feature, train, expert_mask,
                   sem_force_idx, sem_force_mask, gate_inp, sem_patch)

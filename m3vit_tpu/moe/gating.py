@@ -57,6 +57,7 @@ def noisy_vmoe_gate(
     no_noise: bool = False,
     expert_mask: Optional[jnp.ndarray] = None,
     build_dense_gates: bool = True,
+    clean_logits: Optional[jnp.ndarray] = None,
 ) -> GateOutput:
     """NoisyGate_VMoE forward (reference: noisy_gate_vmoe.py:80-264).
 
@@ -64,9 +65,15 @@ def noisy_vmoe_gate(
     expert_mask: optional [E] bool — routing restricted to True experts (the
     reference's `select_idx` column-slicing, noisy_gate_vmoe.py:170-172,
     expressed as a -inf logit mask so expert ids stay global).
+    clean_logits: optional precomputed [T, E] logits (the stacked multi-gate
+    path computes per-row logits against per-task gates before calling in);
+    when given, gate_inp/w_gate are not consulted for the matmul.
     """
     num_experts = w_gate.shape[-1]
-    clean_logits = gate_inp.astype(jnp.float32) @ w_gate.astype(jnp.float32)
+    if clean_logits is None:
+        clean_logits = gate_inp.astype(jnp.float32) @ w_gate.astype(jnp.float32)
+    else:
+        clean_logits = clean_logits.astype(jnp.float32)
     raw_noise_stddev = noise_std / num_experts
     use_noise = train and not no_noise
     noise_stddev = jnp.asarray(raw_noise_stddev if use_noise else 0.0, jnp.float32)
@@ -153,6 +160,7 @@ def cv_squared(x: jnp.ndarray) -> jnp.ndarray:
 def moe_aux_loss(
     gate: GateOutput, top_k: int, num_experts: int, train: bool,
     row_mask: Optional[jnp.ndarray] = None,
+    segments: int = 1,
 ) -> jnp.ndarray:
     """cv²(importance) + cv²(load) for one MoE block.
 
@@ -161,10 +169,16 @@ def moe_aux_loss(
     row_mask ([T] bool): restrict the statistics to these tokens (the token
     variant computes cv over computed/TS tokens only, reference
     token/vision_transformer_moe.py:794-801).
+    segments > 1: tokens are `segments` equal task-major groups (the stacked
+    multi-gate pass); cv² is computed per group and summed — exactly the sum
+    of per-task-pass balance losses in the reference's one-pass-per-task loop
+    (models/models.py:299-320).
     """
     if not train:
         return jnp.asarray(0.0, jnp.float32)
-    importance = gate_importance(gate)
+    importance = gate_importance(gate, segments=segments).reshape(
+        segments, num_experts
+    )
     use_smooth = top_k < num_experts
     if use_smooth:
         smooth = prob_in_top_k(
@@ -176,32 +190,63 @@ def moe_aux_loss(
         )
         if row_mask is not None:
             smooth = smooth * row_mask[:, None]
-        smooth = smooth.sum(axis=0)
-        hard = gate_load_counts(gate)
+        smooth = smooth.reshape(segments, -1, num_experts).sum(axis=1)
+        hard = gate_load_counts(gate, segments=segments).reshape(
+            segments, num_experts
+        )
         load = jnp.where(jnp.abs(jnp.max(gate.noise_stddev)) > 1e-6, smooth,
                          hard)
     else:
-        load = gate_load_counts(gate)
-    return cv_squared(importance) + cv_squared(load)
-
-
-def gate_importance(gate: GateOutput) -> jnp.ndarray:
-    """Per-expert sum of gate probs; == gates.sum(0) without the dense scatter."""
-    if gate.gates is not None:
-        return gate.gates.sum(axis=0)
-    E = gate.clean_logits.shape[-1]
-    return jnp.zeros(E, jnp.float32).at[gate.top_k_indices.reshape(-1)].add(
-        gate.top_k_gates.reshape(-1)
+        load = gate_load_counts(gate, segments=segments).reshape(
+            segments, num_experts
+        )
+    per_seg = jax.vmap(lambda i, l: cv_squared(i) + cv_squared(l))(
+        importance, load
     )
+    return per_seg.sum()
 
 
-def gate_load_counts(gate: GateOutput) -> jnp.ndarray:
+def _segment_ids(gate: GateOutput, segments: int) -> jnp.ndarray:
+    """Expert ids offset into per-segment banks: token t of segment s scatters
+    into row s.  Tokens are task-major equal groups."""
+    T, K = gate.top_k_indices.shape
+    E = gate.clean_logits.shape[-1]
+    seg = jnp.repeat(jnp.arange(segments, dtype=jnp.int32), T // segments)
+    return gate.top_k_indices + seg[:, None] * E
+
+
+def gate_importance(gate: GateOutput, segments: int = 1) -> jnp.ndarray:
+    """Per-expert sum of gate probs; == gates.sum(0) without the dense scatter.
+
+    segments=1 returns [E]; segments>1 returns [S, E] per task-major group.
+    """
+    E = gate.clean_logits.shape[-1]
+    if segments == 1:
+        if gate.gates is not None:
+            return gate.gates.sum(axis=0)
+        return jnp.zeros(E, jnp.float32).at[
+            gate.top_k_indices.reshape(-1)
+        ].add(gate.top_k_gates.reshape(-1))
+    idx = _segment_ids(gate, segments).reshape(-1)
+    return jnp.zeros(segments * E, jnp.float32).at[idx].add(
+        gate.top_k_gates.reshape(-1)
+    ).reshape(segments, E)
+
+
+def gate_load_counts(gate: GateOutput, segments: int = 1) -> jnp.ndarray:
     """Per-expert routed-token counts (== (gates > 0).sum(0))."""
-    if gate.gates is not None:
-        return gates_to_load(gate.gates)
     E = gate.clean_logits.shape[-1]
     sel = (gate.top_k_gates.reshape(-1) > 0).astype(jnp.float32)
-    return jnp.zeros(E, jnp.float32).at[gate.top_k_indices.reshape(-1)].add(sel)
+    if segments == 1:
+        if gate.gates is not None:
+            return gates_to_load(gate.gates)
+        return jnp.zeros(E, jnp.float32).at[
+            gate.top_k_indices.reshape(-1)
+        ].add(sel)
+    idx = _segment_ids(gate, segments).reshape(-1)
+    return jnp.zeros(segments * E, jnp.float32).at[idx].add(sel).reshape(
+        segments, E
+    )
 
 
 def noisy_gate_init(key: jax.Array, d_gate: int, num_experts: int):
