@@ -52,6 +52,9 @@ def parse_args(argv=None):
     ap.add_argument("--stacked_tasks", action="store_true",
                     help="fuse the per-task multi-gate backbone passes into "
                          "one [T*B] pass (TPU-first; same params/metrics)")
+    ap.add_argument("--remat_heads", action="store_true",
+                    help="rematerialize decoder heads in backward (the PUP "
+                         "heads dominate HBM; frees memory for larger B)")
     ap.add_argument("--moe_gate_type", default="noisy_vmoe")
     ap.add_argument("--vmoe_noisy_std", type=float, default=None)
     ap.add_argument("--moe_noisy_gate_loss_weight", type=float, default=0.01)
@@ -152,7 +155,12 @@ def run(args) -> Dict:
     }
     overrides["multi_gate"] = args.multi_gate
     if args.stacked_tasks:
+        if not args.multi_gate:
+            print("WARNING: --stacked_tasks has no effect without "
+                  "--multi_gate; running the shared-gate path")
         overrides["stacked_tasks"] = True
+    if args.remat_heads:
+        overrides["remat_heads"] = True
     overrides["use_cv_loss"] = args.use_cv_loss
     overrides["use_checkpointing"] = args.use_checkpointing
     if args.overfit:

@@ -60,6 +60,11 @@ class MultiTaskModel(nn.Module):
     # statistics).  Parameters are identical to the sequential form, so
     # checkpoints are interchangeable.
     stacked_tasks: bool = False
+    # rematerialize the decoder heads in the backward pass.  The PUP heads'
+    # 512²x256ch conv activations dominate the train step's HBM footprint
+    # (~14.7 GB at B=8 without remat on a 16 GB chip); trading their
+    # recompute for memory unblocks larger batches and better XLA schedules.
+    remat_heads: bool = False
 
     def _run_backbone(self, x, task_id: Optional[int], train: bool):
         tid = None if task_id is None else jnp.asarray(task_id, jnp.int32)
@@ -92,7 +97,13 @@ class MultiTaskModel(nn.Module):
         deep: List[Dict[str, jnp.ndarray]] = [{}, {}, {}]
 
         def decode(task, feats):
-            ret = self.decoders[task](feats, train=train)
+            if self.remat_heads:
+                ret = nn.remat(
+                    lambda mdl, f, tr: mdl(f, train=tr),
+                    static_argnums=(2,),
+                )(self.decoders[task], feats, train)
+            else:
+                ret = self.decoders[task](feats, train=train)
             if use_tam and isinstance(ret, tuple):
                 pred, f0, f1, f2 = ret
                 deep[0][task], deep[1][task], deep[2][task] = f0, f1, f2

@@ -138,3 +138,50 @@ def test_multitask_model_multigate():
         variables, x, train=False, single_task="edge", mutable=["batch_stats"]
     )
     assert list(out1.keys()) == ["edge"]
+
+
+def test_remat_heads_matches_and_trains():
+    """remat_heads is a pure execution strategy: identical outputs, grads for
+    every head param, BatchNorm stats still update under the remat."""
+    bb = tiny_moe_backbone(depth=2)
+    tasks = ["semseg", "sal"]
+    decs = {
+        t: VisionTransformerUpHead(img_size=(IMG, IMG), embed_dim=64,
+                                   num_classes=3)
+        for t in tasks
+    }
+    m0 = MultiTaskModel(backbone=bb, decoders=decs, tasks=tasks,
+                        multi_gate=True)
+    m1 = MultiTaskModel(backbone=bb, decoders=decs, tasks=tasks,
+                        multi_gate=True, remat_heads=True)
+    x = jax.random.normal(jax.random.key(0), (2, IMG, IMG, 3))
+    v = m0.init({"params": jax.random.key(1), "gate_noise": jax.random.key(2)},
+                x, train=False)
+    o0, _, _ = m0.apply(v, x, train=False)
+    o1, _, _ = m1.apply(v, x, train=False)
+    for t in tasks:
+        np.testing.assert_allclose(np.asarray(o0[t]), np.asarray(o1[t]),
+                                   atol=1e-6, err_msg=t)
+
+    def loss(p):
+        (out, cv, _), _ = m1.apply(
+            {"params": p, "batch_stats": v["batch_stats"]}, x, train=True,
+            rngs={"gate_noise": jax.random.key(3)}, mutable=["batch_stats"],
+        )
+        return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in out.values())
+
+    g = jax.grad(loss)(v["params"])
+    for t in tasks:
+        leaves = jax.tree.leaves(g[f"decoders_{t}"])
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0
+
+    (_, _, _), upd = m1.apply(
+        {"params": v["params"], "batch_stats": v["batch_stats"]}, x,
+        train=True, rngs={"gate_noise": jax.random.key(4)},
+        mutable=["batch_stats"],
+    )
+    # running stats moved away from init
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()),
+                        upd["batch_stats"], v["batch_stats"])
+    assert sum(jax.tree.leaves(diff)) > 0
