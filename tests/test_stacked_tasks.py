@@ -156,3 +156,36 @@ def test_moe_aux_loss_segments_equals_per_segment_sum():
         )
         total += float(moe_aux_loss(sub, K, E, True))
     np.testing.assert_allclose(seg_loss, total, rtol=1e-5)
+
+
+def test_stacked_tasks_with_expert_parallel_mesh(mesh8):
+    """The stacked [T*B] pass composes with the all_to_all expert-parallel
+    shard_map (the production pod path): outputs match the unsharded stacked
+    run and the stacked batch shards evenly over (data, expert)."""
+    from m3vit_tpu.parallel.mesh import batch_sharding, param_shardings
+
+    # input B must divide the 8-device mesh; T*B = 4*8 = 32 stacked rows
+    Tn, B = 4, 8
+    model = backbone(num_tasks=Tn, moe_experts=8)
+    model_ep = backbone(num_tasks=Tn, moe_experts=8, mesh=mesh8,
+                        expert_axis="expert")
+    x = jax.random.normal(jax.random.key(20), (B, IMG, IMG, 3))
+    v = model.init(
+        {"params": jax.random.key(21), "gate_noise": jax.random.key(22)},
+        x, task_id=jnp.asarray(0), train=False,
+    )
+    ref, _, _ = model.apply(v, x, task_id=jnp.arange(Tn), train=False,
+                            stacked_tasks=True)
+
+    shardings = param_shardings(v["params"], mesh8)
+    v_sh = {"params": jax.device_put(v["params"], shardings)}
+    x_sh = jax.device_put(x, batch_sharding(mesh8))
+
+    @jax.jit
+    def fwd(vv, xx):
+        out, cv, _ = model_ep.apply(vv, xx, task_id=jnp.arange(Tn),
+                                    train=False, stacked_tasks=True)
+        return out, cv
+
+    out, cv = fwd(v_sh, x_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
