@@ -162,6 +162,7 @@ class TokenBlock(nn.Module):
         share_gamma: float,
         train: bool = False,
         prev_share_mask: Optional[jnp.ndarray] = None,  # [T, B, N] bool
+        reuse_bits: Optional[jnp.ndarray] = None,  # [B, N] int32 task bitmask
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Dict]:
         T, B, N, C = outs.shape
         norm1 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")
@@ -255,6 +256,18 @@ class TokenBlock(nn.Module):
         cf = self.capacity_factor if train else self.eval_capacity_factor
 
         normed_all = norm2(outs.reshape(T * B, N, C)).reshape(T, B, N, C)
+        # reuse cache (reference :673-812, dead plumbing there — reuse_bits
+        # is always None upstream; here it is a live static-shape feature):
+        # the FIRST task whose reuse bit is set computes the expert output
+        # for a token and fills the cache; later reuse-tasks read it instead
+        # of re-running gate+experts.  The cached value is the pre-residual
+        # expert output (the reference caches mlp_drop(expert_out), :807-812).
+        cache = jnp.zeros((B * N, C), jnp.float32)
+        cache_valid = jnp.zeros((B * N,), bool)
+        computed_tokens = jnp.asarray(0.0, jnp.float32)
+        reused_tokens = jnp.asarray(0.0, jnp.float32)
+        reuse_flat = (reuse_bits.reshape(-1).astype(jnp.int32)
+                      if reuse_bits is not None else None)
         for t in range(T):
             normed = normed_all[t]
             gate_inp = normed.reshape(-1, C).astype(jnp.float32)
@@ -268,26 +281,45 @@ class TokenBlock(nn.Module):
                 gate_inp, w_gate, top_k=self.moe_top_k,
                 noise_std=self.vmoe_noisy_std, train=train, rng=r,
             )
-            # TS-masked dispatch: shared tokens get an OOB expert id and are
-            # dropped before they occupy capacity (the reference gathers TS
-            # indices on the host; reference :743-801)
             tsm = ts_mask[t].reshape(-1)  # [B*N]
-            idx = jnp.where(tsm[:, None], gate.top_k_indices, E)
+            if reuse_flat is not None:
+                task_in_reuse = ((reuse_flat >> t) & 1).astype(bool)
+                can_reuse = task_in_reuse & tsm & cache_valid
+                compute = tsm & ~can_reuse  # reference :749-752
+            else:
+                can_reuse = jnp.zeros_like(tsm)
+                compute = tsm
+            # TS/reuse-masked dispatch: non-compute tokens get an OOB expert
+            # id and are dropped before they occupy capacity (the reference
+            # gathers compute indices on the host; reference :743-801)
+            idx = jnp.where(compute[:, None], gate.top_k_indices, E)
             delta = moe_ffn(
                 normed, idx.reshape(B, N, self.moe_top_k),
                 gate.top_k_gates.reshape(B, N, self.moe_top_k), params,
                 mesh=self.mesh, expert_axis=self.expert_axis,
                 capacity_factor=cf, compute_dtype=self.dtype,
             )
-            outs = outs.at[t].add(delta * ts_mask[t][..., None].astype(delta.dtype))
+            dflat = delta.reshape(B * N, C).astype(jnp.float32)
+            if reuse_flat is not None:
+                dflat = jnp.where(can_reuse[:, None], cache, dflat)
+                fill = task_in_reuse & tsm & ~cache_valid  # reference :746
+                cache = jnp.where(fill[:, None], dflat, cache)
+                cache_valid = cache_valid | fill
+            used = dflat.reshape(B, N, C).astype(delta.dtype)
+            outs = outs.at[t].add(used * ts_mask[t][..., None].astype(delta.dtype))
+            computed_tokens = computed_tokens + compute.sum()
+            reused_tokens = reused_tokens + can_reuse.sum()
 
-            # cv loss over TS (computed) tokens only (reference :795-801):
+            # cv loss over computed tokens only (reference :795-801):
             # row-mask both the importance (via gates) and the smooth load
-            masked_gate = gate._replace(gates=gate.gates * tsm[:, None])
+            cmf = compute.astype(jnp.float32)
+            masked_gate = gate._replace(gates=gate.gates * cmf[:, None])
             cv_total = cv_total + moe_aux_loss(
                 masked_gate, self.moe_top_k, E, train,
-                row_mask=tsm.astype(jnp.float32),
+                row_mask=cmf,
             )
+        stats["computed_tokens"] = computed_tokens
+        stats["reused_tokens"] = reused_tokens
 
         # shared FFN once for shared positions (reference :1001-1014)
         sh_w1 = self.param("shared_ffn_fc1", trunc_normal_init,
@@ -344,7 +376,11 @@ class TokenVisionTransformerMoE(nn.Module):
     use_checkpointing: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, task_id=None, train: bool = False):
+    def __call__(self, x: jnp.ndarray, task_id=None, train: bool = False,
+                 reuse_bits: Optional[jnp.ndarray] = None):
+        # reuse_bits [B, 1+N] int32: per-token task bitmask enabling the MoE
+        # blocks' expert-output reuse cache (reference token/
+        # vision_transformer_moe.py:673-812 — dead there, live here)
         B = x.shape[0]
         T = self.num_tasks
         num_patches = (self.img_size[0] // self.patch_size) * (
@@ -402,7 +438,7 @@ class TokenVisionTransformerMoE(nn.Module):
                 attn_expert_top_k=self.attn_expert_top_k,
                 branch_embed_dim=self.branch_embed_dim,
                 dtype=self.dtype, name=f"block_{i}",
-            )(outs, task_emb, gamma, train, prev_share_mask)
+            )(outs, task_emb, gamma, train, prev_share_mask, reuse_bits)
             prev_share_mask = share_mask
             total_aux = total_aux + aux["cv_loss"]
             if train and self.share_reg_lambda > 0:

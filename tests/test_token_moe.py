@@ -190,3 +190,51 @@ def test_token_backbone_expert_parallel(mesh8):
     s2, _, _ = local.apply(v, x, train=False)
     np.testing.assert_allclose(np.asarray(streams[0]), np.asarray(s2[0]),
                                atol=2e-4)
+
+
+def test_reuse_cache_semantics():
+    """reuse_bits: first task in the reuse set computes a token's expert
+    output and fills the cache; later tasks reuse it (reference token/
+    vision_transformer_moe.py:673-812, where the plumbing is dead)."""
+    model = tiny_token_backbone()
+    x = jax.random.normal(jax.random.key(10), (2, IMG, IMG, 3))
+    v = model.init(
+        {"params": jax.random.key(11), "gate_noise": jax.random.key(12)},
+        x, train=False,
+    )
+    base, _, st0 = model.apply(v, x, train=False)
+
+    # explicit zero bitmask == no reuse at all
+    zeros = jnp.zeros((2, 17), jnp.int32)
+    same, _, st_z = model.apply(v, x, train=False, reuse_bits=zeros)
+    for t in base:
+        np.testing.assert_allclose(np.asarray(same[t]), np.asarray(base[t]),
+                                   atol=1e-6)
+    assert float(st_z["reused_tokens"]) == 0.0
+    np.testing.assert_allclose(float(st_z["computed_tokens"]),
+                               float(st0["computed_tokens"]))
+
+    # all-tasks bitmask: task 0 computes + fills, task 1 reuses everything
+    # that is task-specific in both streams
+    allbits = jnp.full((2, 17), (1 << 2) - 1, jnp.int32)
+    out, _, st = model.apply(v, x, train=False, reuse_bits=allbits)
+    assert float(st["reused_tokens"]) > 0
+    assert float(st["computed_tokens"]) < float(st0["computed_tokens"])
+    # total coverage unchanged: every TS token either computed or reused
+    np.testing.assert_allclose(
+        float(st["computed_tokens"]) + float(st["reused_tokens"]),
+        float(st0["computed_tokens"]),
+    )
+    for t in out:
+        assert np.isfinite(np.asarray(out[t])).all()
+
+    # gradients still flow with reuse active
+    def loss(params):
+        s, aux, _ = model.apply(
+            {"params": params}, x, train=True, reuse_bits=allbits,
+            rngs={"gate_noise": jax.random.key(13)},
+        )
+        return jnp.mean(s[0] ** 2) + jnp.mean(s[1] ** 2) + 0.01 * aux
+
+    g = jax.grad(loss)(v["params"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
