@@ -266,6 +266,11 @@ class TokenBlock(nn.Module):
         cache_valid = jnp.zeros((B * N,), bool)
         computed_tokens = jnp.asarray(0.0, jnp.float32)
         reused_tokens = jnp.asarray(0.0, jnp.float32)
+        if reuse_bits is not None:
+            assert reuse_bits.shape == (B, N), (
+                f"reuse_bits must be [B, N] = {(B, N)} (one bitmask per "
+                f"token incl. cls), got {reuse_bits.shape}"
+            )
         reuse_flat = (reuse_bits.reshape(-1).astype(jnp.int32)
                       if reuse_bits is not None else None)
         for t in range(T):
