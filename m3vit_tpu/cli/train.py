@@ -101,6 +101,11 @@ def parse_args(argv=None):
                     help="print forward latency and exit")
     ap.add_argument("--profile_dir", default=None,
                     help="write a jax.profiler trace for the first train steps")
+    ap.add_argument("--debug_nans", action="store_true",
+                    help="enable jax_debug_nans: error at the first op that "
+                         "produces a NaN (the sanitizer-mode equivalent of "
+                         "the reference's sync-and-inspect debugging, "
+                         "SURVEY.md §5)")
     ap.add_argument("--log_interval", type=int, default=25)
     return ap.parse_args(argv)
 
@@ -141,6 +146,8 @@ def build_everything(args, p):
 
 
 def run(args) -> Dict:
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     if args.multihost:
         # coordinator/process env comes from the TPU pod runtime
         jax.distributed.initialize()
