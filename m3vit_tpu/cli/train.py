@@ -73,6 +73,9 @@ def parse_args(argv=None):
                          "train_fastmoe.py:268-312)")
     # run control
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override optimizer_kwargs.lr from the config "
+                         "(reference train_fastmoe.py:122)")
     ap.add_argument("--trBatch", type=int, default=None)
     ap.add_argument("--accumulation_steps", type=int, default=None)
     ap.add_argument("--valBatch", type=int, default=None)
@@ -174,6 +177,8 @@ def run(args) -> Dict:
         overrides["overfit"] = True
     p = create_config(args.config_env, args.config_exp, overrides,
                       make_dirs=True)
+    if args.lr is not None:
+        p["optimizer_kwargs"]["lr"] = args.lr
     setup_stdout_tee(p["output_dir"])
     logger = MetricLogger(p["output_dir"], use_wandb=args.wandb, config=p,
                           run_name=args.run_name)
