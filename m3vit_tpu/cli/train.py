@@ -55,7 +55,33 @@ def parse_args(argv=None):
     ap.add_argument("--remat_heads", action="store_true",
                     help="rematerialize decoder heads in backward (the PUP "
                          "heads dominate HBM; frees memory for larger B)")
-    ap.add_argument("--moe_gate_type", default="noisy_vmoe")
+    ap.add_argument("--moe_gate_type", "--moe_gate_arch",
+                    dest="moe_gate_type", default=None,
+                    help="'noisy_vmoe' (default) or 'noisy' (reference "
+                         "--moe_gate_arch)")
+    ap.add_argument("--moe_mlp_ratio", type=float, default=None)
+    # research knobs (reference train_fastmoe.py:107-155)
+    ap.add_argument("--expert_prune", action="store_true",
+                    help="zero gate scores below prune_threshold")
+    ap.add_argument("--regu_experts_fromtask", action="store_true",
+                    help="restrict each task to a window of experts")
+    ap.add_argument("--num_experts_pertask", type=int, default=None)
+    ap.add_argument("--regu_sem", action="store_true",
+                    help="semantic prior head on gate logits (warmup epochs)")
+    ap.add_argument("--sem_force", action="store_true",
+                    help="force routing by semantic class groups (warmup)")
+    ap.add_argument("--regu_subimage", action="store_true",
+                    help="subimage routing-consistency KL (warmup epochs)")
+    ap.add_argument("--semregu_loss_weight", type=float, default=0.01)
+    ap.add_argument("--subimageregu_weight", type=float, default=0.01)
+    ap.add_argument("--gate_input_ahead", action="store_true",
+                    help="gate input = block input tokens (reference "
+                         "origin/vision_transformer_moe.py:276)")
+    ap.add_argument("--warmup_epochs", type=int, default=5,
+                    help="epochs during which sem-guided knobs are active "
+                         "(reference train_utils.py:424)")
+    ap.add_argument("--weight_decay", type=float, default=None,
+                    help="override optimizer_kwargs.weight_decay")
     ap.add_argument("--vmoe_noisy_std", type=float, default=None)
     ap.add_argument("--moe_noisy_gate_loss_weight", type=float, default=0.01)
     ap.add_argument("--gate_task_specific_dim", type=int, default=None)
@@ -160,9 +186,14 @@ def run(args) -> Dict:
         for k in ("moe_experts", "moe_top_k", "vmoe_noisy_std",
                   "gate_task_specific_dim", "moe_capacity_factor", "epochs",
                   "trBatch", "valBatch", "compute_dtype", "save_dir",
-                  "run_name", "accumulation_steps")
+                  "run_name", "accumulation_steps", "moe_gate_type",
+                  "moe_mlp_ratio", "num_experts_pertask")
         if getattr(args, k) is not None
     }
+    for k in ("expert_prune", "regu_experts_fromtask", "regu_sem",
+              "sem_force", "regu_subimage", "gate_input_ahead"):
+        if getattr(args, k):
+            overrides[k] = True
     overrides["multi_gate"] = args.multi_gate
     if args.stacked_tasks:
         if not args.multi_gate:
@@ -179,6 +210,8 @@ def run(args) -> Dict:
                       make_dirs=True)
     if args.lr is not None:
         p["optimizer_kwargs"]["lr"] = args.lr
+    if args.weight_decay is not None:
+        p["optimizer_kwargs"]["weight_decay"] = args.weight_decay
     setup_stdout_tee(p["output_dir"])
     logger = MetricLogger(p["output_dir"], use_wandb=args.wandb, config=p,
                           run_name=args.run_name)
@@ -233,7 +266,13 @@ def run(args) -> Dict:
 
     sample = next(iter(train_loader.epoch(0)))
     sample = {k: v for k, v in sample.items() if k != "meta"}
-    state = create_train_state(model, jax.random.key(args.seed), sample, tx)
+    # sem-guided knobs add parameters (e.g. the regu_sem prior head) that
+    # only materialize when the backbone sees `sem` — initialize with it
+    use_sem = (args.regu_sem or args.sem_force or args.regu_subimage) \
+        and "semseg" in tasks
+    init_kwargs = {"sem": sample["semseg"]} if use_sem else None
+    state = create_train_state(model, jax.random.key(args.seed), sample, tx,
+                               train_kwargs=init_kwargs)
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"parameters: {n_params/1e6:.2f}M, steps/epoch: {steps_per_epoch}")
 
@@ -267,6 +306,16 @@ def run(args) -> Dict:
         else 0.0
     train_step = make_train_step(model, tasks, loss_fns, loss_weights,
                                  cv_weight=cv_w)
+    # sem-guided knobs run only during warmup epochs with semseg labels fed
+    # to the backbone (reference train_utils.py:424-426); a second compiled
+    # step carries the extra input + regu losses (use_sem computed above)
+    train_step_sem = None
+    if use_sem:
+        train_step_sem = make_train_step(
+            model, tasks, loss_fns, loss_weights, cv_weight=cv_w,
+            pass_sem=True, semregu_weight=float(args.semregu_loss_weight),
+            subimage_weight=float(args.subimageregu_weight),
+        )
     eval_step = make_eval_step(model, tasks)
 
     def run_eval(epoch: int) -> Dict:
@@ -352,9 +401,12 @@ def run(args) -> Dict:
         profiling = args.profile_dir and epoch == start_epoch
         if profiling:
             jax.profiler.start_trace(args.profile_dir)
+        step_fn = train_step
+        if use_sem and epoch < args.warmup_epochs:
+            step_fn = train_step_sem
         for it, batch in enumerate(batches):
             batch = {k: v for k, v in batch.items() if k != "meta"}
-            state, metrics = train_step(state, batch, rng)
+            state, metrics = step_fn(state, batch, rng)
             if profiling and it == 2:
                 jax.profiler.stop_trace()
                 profiling = False

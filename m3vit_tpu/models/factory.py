@@ -76,6 +76,15 @@ def build_backbone(p, mesh=None, expert_axis: Optional[str] = "expert"):
             capacity_factor=float(p.get("moe_capacity_factor", 2.0)),
             eval_capacity_factor=float(p.get("moe_eval_capacity_factor", 4.0)),
             moe_gate_type=str(p.get("moe_gate_type", "noisy_vmoe")),
+            # research knobs (reference train_fastmoe.py:107-155 CLI flags)
+            expert_prune=bool(p.get("expert_prune", False)),
+            prune_threshold=float(p.get("prune_threshold", 0.1)),
+            regu_experts_fromtask=bool(p.get("regu_experts_fromtask", False)),
+            num_experts_pertask=int(p.get("num_experts_pertask", -1)),
+            sem_force=bool(p.get("sem_force", False)),
+            regu_sem=bool(p.get("regu_sem", False)),
+            regu_subimage=bool(p.get("regu_subimage", False)),
+            gate_input_ahead=bool(p.get("gate_input_ahead", False)),
             mesh=mesh,
             expert_axis=expert_axis,
             **common,

@@ -66,9 +66,15 @@ class MultiTaskModel(nn.Module):
     # recompute for memory unblocks larger batches and better XLA schedules.
     remat_heads: bool = False
 
-    def _run_backbone(self, x, task_id: Optional[int], train: bool):
+    def _run_backbone(self, x, task_id: Optional[int], train: bool,
+                      sem=None):
         tid = None if task_id is None else jnp.asarray(task_id, jnp.int32)
-        ret = self.backbone(x, task_id=tid, train=train)
+        if sem is not None:
+            # sem-guided routing / regularizers (reference train_utils.py:424
+            # passes targets['semseg'] during warmup epochs)
+            ret = self.backbone(x, task_id=tid, train=train, sem=sem)
+        else:
+            ret = self.backbone(x, task_id=tid, train=train)
         if self.backbone_returns_tuple:
             return ret
         return ret, jnp.asarray(0.0, jnp.float32), {}
@@ -79,6 +85,7 @@ class MultiTaskModel(nn.Module):
         x: jnp.ndarray,
         train: bool = False,
         single_task: Optional[str] = None,
+        sem: Optional[jnp.ndarray] = None,
     ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray, Dict]:
         out_size = x.shape[1:3]
         out: Dict[str, jnp.ndarray] = {}
@@ -87,7 +94,7 @@ class MultiTaskModel(nn.Module):
 
         if single_task is not None:
             tid = self.tasks.index(single_task) if self.multi_gate else None
-            feats, cv, stats = self._run_backbone(x, tid, train)
+            feats, cv, stats = self._run_backbone(x, tid, train, sem)
             out[single_task] = resize_bilinear(
                 self.decoders[single_task](feats, train=train), out_size
             )
@@ -115,7 +122,7 @@ class MultiTaskModel(nn.Module):
             T = len(self.tasks)
             tids = jnp.arange(T, dtype=jnp.int32)
             feats, total_cv, stats = self.backbone(
-                x, task_id=tids, train=train, stacked_tasks=True
+                x, task_id=tids, train=train, stacked_tasks=True, sem=sem
             )
             per_task = feats.reshape((T, x.shape[0]) + feats.shape[1:])
             for i, task in enumerate(self.tasks):
@@ -124,14 +131,14 @@ class MultiTaskModel(nn.Module):
         elif self.multi_gate:
             # one backbone pass per task, each with its own router set
             for i, task in enumerate(self.tasks):
-                feats, cv, st = self._run_backbone(x, i, train)
+                feats, cv, st = self._run_backbone(x, i, train, sem)
                 total_cv = total_cv + cv
                 stats = st if not stats else jax.tree.map(
                     lambda a, b: a + b, stats, st
                 )
                 out[task] = resize_bilinear(decode(task, feats), out_size)
         else:
-            feats, total_cv, stats = self._run_backbone(x, None, train)
+            feats, total_cv, stats = self._run_backbone(x, None, train, sem)
             for task in self.tasks:
                 out[task] = resize_bilinear(decode(task, feats), out_size)
 

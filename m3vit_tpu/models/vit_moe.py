@@ -574,6 +574,9 @@ class VisionTransformerMoE(nn.Module):
     regu_sem: bool = False
     regu_subimage: bool = False
     moe_gate_type: str = "noisy_vmoe"
+    # route with each MoE block's INPUT tokens instead of the post-norm2
+    # stream (reference origin/vision_transformer_moe.py:276-277)
+    gate_input_ahead: bool = False
 
     @nn.compact
     def __call__(
@@ -719,7 +722,8 @@ class VisionTransformerMoE(nn.Module):
                     cv_segments=n_stack,
                     name=f"block_{i}",
                 )(tokens, task_id, task_feature, train, expert_mask,
-                  sem_force_idx, sem_force_mask, gate_inp, sem_patch)
+                  sem_force_idx, sem_force_mask,
+                  tokens if self.gate_input_ahead else gate_inp, sem_patch)
                 total_cv = total_cv + cv
                 agg = (
                     stats

@@ -176,8 +176,11 @@ def moe_aux_loss(
     """
     if not train:
         return jnp.asarray(0.0, jnp.float32)
+    # the gate may operate on a narrowed expert window (regu_experts_fromtask
+    # slices w_gate columns) — statistics span the window, not num_experts
+    e_width = gate.clean_logits.shape[-1]
     importance = gate_importance(gate, segments=segments).reshape(
-        segments, num_experts
+        segments, e_width
     )
     use_smooth = top_k < num_experts
     if use_smooth:
@@ -190,15 +193,15 @@ def moe_aux_loss(
         )
         if row_mask is not None:
             smooth = smooth * row_mask[:, None]
-        smooth = smooth.reshape(segments, -1, num_experts).sum(axis=1)
+        smooth = smooth.reshape(segments, -1, e_width).sum(axis=1)
         hard = gate_load_counts(gate, segments=segments).reshape(
-            segments, num_experts
+            segments, e_width
         )
         load = jnp.where(jnp.abs(jnp.max(gate.noise_stddev)) > 1e-6, smooth,
                          hard)
     else:
         load = gate_load_counts(gate, segments=segments).reshape(
-            segments, num_experts
+            segments, e_width
         )
     per_seg = jax.vmap(lambda i, l: cv_squared(i) + cv_squared(l))(
         importance, load

@@ -25,11 +25,21 @@ def make_train_step(
     loss_weights: Dict[str, float],
     cv_weight: float = 0.01,
     donate: bool = True,
+    pass_sem: bool = False,
+    semregu_weight: float = 0.01,
+    subimage_weight: float = 0.01,
 ):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     batch: {'image': [B,H,W,3], <task>: [B,H,W,C_t], ...}
     cv_weight: --moe_noisy_gate_loss_weight (reference train_utils.py:440-449).
+    pass_sem: feed batch['semseg'] to the backbone for sem-guided routing /
+    regularizers (reference train_utils.py:424-426); the semregu and
+    regu_subimage stats are then weighted into the total loss with
+    semregu_weight / subimage_weight (--semregu_loss_weight /
+    --subimageregu_weight, reference train_fastmoe.py:147,155 — the
+    reference parses the weights and computes both losses but leaves the
+    addition commented out; we apply them as intended).
     """
 
     def train_step(state, batch, rng):
@@ -39,15 +49,25 @@ def make_train_step(
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
+            kwargs = {}
+            if pass_sem:
+                kwargs["sem"] = batch["semseg"]
             (pred, cv, stats), new_state = model.apply(
                 variables,
                 batch["image"],
                 train=True,
                 rngs={"gate_noise": g_rng, "dropout": d_rng},
                 mutable=["batch_stats"],
+                **kwargs,
             )
             losses = multi_task_loss(pred, batch, tasks, loss_fns, loss_weights)
             total = losses["total"] + cv_weight * cv
+            if pass_sem and "semregu_loss" in stats:
+                total = total + semregu_weight * stats["semregu_loss"]
+                losses["semregu"] = stats["semregu_loss"]
+            if pass_sem and "regu_subimage_loss" in stats:
+                total = total + subimage_weight * stats["regu_subimage_loss"]
+                losses["regu_subimage"] = stats["regu_subimage_loss"]
             return total, (losses, cv, new_state.get("batch_stats", {}), stats)
 
         (total, (losses, cv, new_bs, stats)), grads = jax.value_and_grad(

@@ -193,3 +193,24 @@ def test_regu_experts_window_narrowing_matches_reference():
         if tid == 2:
             # narrowed window: only the last E-start=4 columns usable
             assert hist[:4].sum() == 0, hist
+
+
+def test_regu_experts_train_mode_cv_loss():
+    """Regression: the cv loss must handle the NARROWED gate width (npt < E)
+    in train mode — statistics span the window, not moe_experts."""
+    model = tiny(regu_experts_fromtask=True, num_experts_pertask=4,
+                 multi_gate=True, num_tasks=2)
+    x = jax.random.normal(jax.random.key(30), (1, IMG, IMG, 3))
+    v = _init(model, x)
+    _, cv, _ = model.apply(v, x, task_id=jnp.asarray(0), train=True,
+                           rngs={"gate_noise": jax.random.key(31)})
+    assert np.isfinite(float(cv)) and float(cv) >= 0.0
+
+    def loss(params):
+        _, cv, _ = model.apply({"params": params}, x, task_id=jnp.asarray(1),
+                               train=True,
+                               rngs={"gate_noise": jax.random.key(32)})
+        return cv
+
+    g = jax.grad(loss)(v["params"])
+    assert np.isfinite(np.asarray(g["block_1"]["mlp"]["w_gate"])).all()
