@@ -80,8 +80,36 @@ def parse_args(argv=None):
     ap.add_argument("--warmup_epochs", type=int, default=5,
                     help="epochs during which sem-guided knobs are active "
                          "(reference train_utils.py:424)")
+    ap.add_argument("--one_by_one", action="store_true",
+                    help="per-task forward/backward with gradient "
+                         "accumulation, one optimizer step per batch "
+                         "(reference train_utils.py:370-421); identical "
+                         "gradients to the joint loop, ~1/T peak memory")
+    ap.add_argument("--task_one_hot", action="store_true",
+                    help="task-conditioned MoE (reference --task_one_hot; "
+                         "requires gate_task_specific_dim > 0 and implies "
+                         "--one_by_one)")
     ap.add_argument("--weight_decay", type=float, default=None,
                     help="override optimizer_kwargs.weight_decay")
+    ap.add_argument("--opt", default=None,
+                    help="override the optimizer name (sgd | adam | adamw)")
+    # DeiT init modes (reference train_fastmoe.py:109-121, 180)
+    ap.add_argument("--backbone_random_init", action="store_true",
+                    help="keep the backbone randomly initialized even when "
+                         "--pretrained is given (reference 'scratch' mode)")
+    ap.add_argument("--pos_emb_from_pretrained", action="store_true",
+                    help="load (and interpolate) pos_embed from the torch "
+                         "checkpoint; the reference default drops it "
+                         "(common_config.py:36)")
+    ap.add_argument("--use_weight_scaling", action="store_true",
+                    help="sqrt(E*G^2/K) scaling for split-upcycled experts")
+    ap.add_argument("--moe_data_distributed", action="store_true",
+                    help="pure data parallelism: replicate experts instead "
+                         "of sharding them (forces --n_expert 1)")
+    # TAM level toggles (reference train_fastmoe.py:158-163)
+    for i in range(3):
+        ap.add_argument(f"--tam_level{i}", type=lambda s: s.lower() not in
+                        ("0", "false", "no"), default=None)
     ap.add_argument("--vmoe_noisy_std", type=float, default=None)
     ap.add_argument("--moe_noisy_gate_loss_weight", type=float, default=0.01)
     ap.add_argument("--gate_task_specific_dim", type=int, default=None)
@@ -194,6 +222,13 @@ def run(args) -> Dict:
               "sem_force", "regu_subimage", "gate_input_ahead"):
         if getattr(args, k):
             overrides[k] = True
+    if args.task_one_hot:
+        # reference train_fastmoe.py:206-207: task-conditioned implies
+        # one-by-one; conditioning itself needs the task-feature gate dim
+        args.one_by_one = True
+        if (args.gate_task_specific_dim or 0) <= 0:
+            print("WARNING: --task_one_hot without --gate_task_specific_dim "
+                  "> 0 leaves the gate unconditioned")
     overrides["multi_gate"] = args.multi_gate
     if args.stacked_tasks:
         if not args.multi_gate:
@@ -212,6 +247,17 @@ def run(args) -> Dict:
         p["optimizer_kwargs"]["lr"] = args.lr
     if args.weight_decay is not None:
         p["optimizer_kwargs"]["weight_decay"] = args.weight_decay
+    if args.opt is not None:
+        p["optimizer"] = args.opt
+    if any(getattr(args, f"tam_level{i}") is not None for i in range(3)):
+        mk = dict(p.get("model_kwargs") or {})
+        for i in range(3):
+            v = getattr(args, f"tam_level{i}")
+            if v is not None:
+                mk[f"tam_level{i}"] = v
+        p["model_kwargs"] = mk
+    if args.moe_data_distributed:
+        args.n_expert = 1
     setup_stdout_tee(p["output_dir"])
     logger = MetricLogger(p["output_dir"], use_wandb=args.wandb, config=p,
                           run_name=args.run_name)
@@ -281,10 +327,17 @@ def run(args) -> Dict:
         state = shard_train_state(state, mesh)
         bsh = batch_sharding(mesh)
 
-    if args.pretrained:
+    if args.pretrained and args.backbone_random_init:
+        # reference 'scratch' mode (resolve_deit_init_mode,
+        # train_fastmoe.py:192-197): checkpoint given but backbone stays
+        # randomly initialized
+        print(f"backbone_random_init: ignoring {args.pretrained}")
+    elif args.pretrained:
         state = state.replace(
             params=load_pretrained_backbone(
-                state.params, args.pretrained, p
+                state.params, args.pretrained, p,
+                pos_emb_from_pretrained=args.pos_emb_from_pretrained,
+                use_weight_scaling=args.use_weight_scaling,
             )
         )
         print(f"loaded pretrained backbone from {args.pretrained}")
@@ -315,6 +368,13 @@ def run(args) -> Dict:
             model, tasks, loss_fns, loss_weights, cv_weight=cv_w,
             pass_sem=True, semregu_weight=float(args.semregu_loss_weight),
             subimage_weight=float(args.subimageregu_weight),
+        )
+    obo_grad_fns = obo_apply = None
+    if args.one_by_one:
+        from m3vit_tpu.train.step import make_one_by_one_train_step
+
+        obo_grad_fns, obo_apply = make_one_by_one_train_step(
+            model, tasks, loss_fns, loss_weights, cv_weight=cv_w
         )
     eval_step = make_eval_step(model, tasks)
 
@@ -406,7 +466,25 @@ def run(args) -> Dict:
             step_fn = train_step_sem
         for it, batch in enumerate(batches):
             batch = {k: v for k, v in batch.items() if k != "meta"}
-            state, metrics = step_fn(state, batch, rng)
+            if args.one_by_one:
+                grads_sum, merged_bs = None, {}
+                metrics = {"loss_total": 0.0}
+                for t in tasks:
+                    g, m, bs = obo_grad_fns[t](state, batch, rng)
+                    grads_sum = g if grads_sum is None else jax.tree.map(
+                        jnp.add, grads_sum, g
+                    )
+                    metrics["loss_total"] = metrics["loss_total"] \
+                        + m.pop("loss_total")
+                    metrics.update(m)
+                    # each pass only runs task t's decoder: take that
+                    # decoder's BN stats from its own pass
+                    for k, v in (bs or {}).items():
+                        if k == f"decoders_{t}" or k not in merged_bs:
+                            merged_bs[k] = v
+                state = obo_apply(state, grads_sum, merged_bs)
+            else:
+                state, metrics = step_fn(state, batch, rng)
             if profiling and it == 2:
                 jax.profiler.stop_trace()
                 profiling = False
@@ -445,12 +523,16 @@ def run(args) -> Dict:
     return {"best": best}
 
 
-def load_pretrained_backbone(params, path, p):
+def load_pretrained_backbone(params, path, p,
+                             pos_emb_from_pretrained: bool = True,
+                             use_weight_scaling: bool = False):
     """Merge pretrained backbone weights into the param tree.
 
     .msgpack -> our pretrain export (flax serialized backbone subtree);
     .pth     -> reference/DeiT torch checkpoint via torch_interop (pos-embed
                 interpolated, dense MLPs upcycled into experts when needed).
+    pos_emb_from_pretrained=False drops pos_embed from a torch checkpoint
+    (reference common_config.py:36); msgpack exports always carry it.
     """
     import jax
 
@@ -486,7 +568,10 @@ def load_pretrained_backbone(params, path, p):
             expert_hidden=int(embed * ratio),
             top_k=int(p.get("moe_top_k", 4)),
             target_grid=grid,
+            use_weight_scaling=use_weight_scaling,
         )
+        if not pos_emb_from_pretrained:
+            loaded.pop("pos_embed", None)
         merged, missing = merge_into(template, loaded)
     if missing:
         print(f"[pretrained] kept random init for {len(missing)} tensors "

@@ -84,6 +84,72 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def make_one_by_one_train_step(
+    model,
+    tasks: List[str],
+    loss_fns: Dict[str, Callable],
+    loss_weights: Dict[str, float],
+    cv_weight: float = 0.01,
+):
+    """One-by-one per-task training (reference train_utils.py:370-421 with
+    --one_by_one): each task gets its own forward/backward on the same batch
+    (single_task routing pass), gradients accumulate across tasks, then ONE
+    optimizer step.  Gradients are mathematically identical to the joint
+    multi-gate loop; the win on TPU is peak memory — only one task's
+    activations are ever live (~1/T of the fused step), since each per-task
+    grad is its own XLA program.
+
+    Returns (grad_fns, apply_fn):
+      grad_fns[task](state, batch, rng) -> (grads, metrics)
+      apply_fn(state, grads, batch_stats) -> state
+    """
+    def make_grad_fn(task):
+        task_index = tasks.index(task)
+
+        def grad_step(state, batch, rng):
+            # fresh noise per task pass, like the reference's sequential
+            # forwards advancing the global RNG (train_utils.py:374-379)
+            g_rng, d_rng = jax.random.split(
+                jax.random.fold_in(
+                    jax.random.fold_in(rng, state.step), task_index
+                )
+            )
+
+            def loss_fn(params):
+                variables = {"params": params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                (pred, cv, _), new_state = model.apply(
+                    variables, batch["image"], train=True,
+                    single_task=task,
+                    rngs={"gate_noise": g_rng, "dropout": d_rng},
+                    mutable=["batch_stats"],
+                )
+                task_loss = loss_fns[task](pred[task], batch[task])
+                total = loss_weights[task] * task_loss + cv_weight * cv
+                return total, (task_loss, cv,
+                               new_state.get("batch_stats", {}))
+
+            (total, (task_loss, cv, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            return grads, {f"loss_{task}": task_loss, "loss_cv": cv,
+                           "loss_total": total}, new_bs
+
+        return jax.jit(grad_step)
+
+    grad_fns = {t: make_grad_fn(t) for t in tasks}
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def apply_fn(state, grads, new_bs):
+        state = state.apply_gradients(grads=grads)
+        if new_bs:
+            state = state.replace(batch_stats=new_bs)
+        return state
+
+    return grad_fns, apply_fn
+
+
 def make_eval_step(model, tasks: List[str]):
     """Returns eval_step(state, batch) -> pred dict (full multi-task forward)."""
 

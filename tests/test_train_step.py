@@ -177,3 +177,81 @@ def test_dropped_slot_fraction_stat():
     frac = float(stats["dropped_slot_fraction"])
     # capacity_factor 8.0 in the tiny model -> nothing dropped
     assert frac == 0.0
+
+
+def test_one_by_one_matches_joint_gradients():
+    """--one_by_one: sum of per-task grads == the joint step's grads (exact
+    with gate noise off; reference train_utils.py:370-421 equivalence)."""
+    from m3vit_tpu.train.step import make_one_by_one_train_step
+
+    backbone = VisionTransformerMoE(
+        img_size=(IMG, IMG), patch_size=16, embed_dim=64, depth=2,
+        num_heads=4, moe_mlp_ratio=1.0, moe_experts=8, moe_top_k=2,
+        multi_gate=True, num_tasks=len(TASKS), capacity_factor=8.0,
+        eval_capacity_factor=8.0, dtype=jnp.float32, use_checkpointing=False,
+        vmoe_noisy_std=0.0,
+    )
+    decoders = {
+        t.name: VisionTransformerUpHead(
+            img_size=(IMG, IMG), patch_size=16, embed_dim=64,
+            num_classes=t.num_output, dtype=jnp.float32,
+        )
+        for t in TASKS
+    }
+    model = MultiTaskModel(
+        backbone=backbone, decoders=decoders,
+        tasks=[t.name for t in TASKS], multi_gate=True,
+    )
+    batch = synthetic_batch(jax.random.key(0), TASKS, 2, (IMG, IMG))
+    tx = build_optimizer(
+        {"optimizer": "sgd",
+         "optimizer_kwargs": {"lr": 0.01, "momentum": 0.9,
+                              "weight_decay": 0.0},
+         "scheduler": "poly", "epochs": 2},
+        steps_per_epoch=2,
+    )
+    state = create_train_state(model, jax.random.key(1), batch, tx)
+    rng = jax.random.key(2)
+
+    # joint grads
+    names = [t.name for t in TASKS]
+
+    def joint_loss(params):
+        (pred, cv, _), _ = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["image"], train=True,
+            rngs={"gate_noise": jax.random.key(3),
+                  "dropout": jax.random.key(4)},
+            mutable=["batch_stats"],
+        )
+        total = 0.01 * cv
+        for t in names:
+            total = total + WEIGHTS[t] * LOSS_FNS[t](pred[t], batch[t])
+        return total
+
+    joint_grads = jax.grad(joint_loss)(state.params)
+
+    grad_fns, apply_fn = make_one_by_one_train_step(
+        model, names, LOSS_FNS, WEIGHTS, cv_weight=0.01
+    )
+    acc = None
+    for t in names:
+        g, m, bs = grad_fns[t](state, batch, rng)
+        acc = g if acc is None else jax.tree.map(jnp.add, acc, g)
+        assert np.isfinite(float(m["loss_total"]))
+
+    flat_j = jax.tree_util.tree_leaves_with_path(joint_grads)
+    flat_o = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(acc)
+    )
+    for path, vj in flat_j:
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(flat_o[key]), np.asarray(vj), atol=5e-5,
+            err_msg=key,
+        )
+
+    # apply_fn advances the state
+    state2 = apply_fn(state, acc, {})
+    assert int(state2.step) == 1
