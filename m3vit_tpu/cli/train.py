@@ -42,7 +42,8 @@ from m3vit_tpu.utils.logging import MetricLogger, setup_stdout_tee
 def parse_args(argv=None):
     ap = argparse.ArgumentParser("m3vit_tpu trainer")
     ap.add_argument("--config_env", default=None)
-    ap.add_argument("--config_exp", required=True)
+    ap.add_argument("--config_exp", "--config_path", dest="config_exp",
+                    required=True)
     ap.add_argument("--run_name", default=None)
     ap.add_argument("--save_dir", default=None)
     # MoE flags (reference train_fastmoe.py:76-182)
@@ -103,6 +104,17 @@ def parse_args(argv=None):
                          "(common_config.py:36)")
     ap.add_argument("--use_weight_scaling", action="store_true",
                     help="sqrt(E*G^2/K) scaling for split-upcycled experts")
+    ap.add_argument("--use_virtual_group_initialization", action="store_true",
+                    help="accepted for reference-CLI compatibility: the "
+                         "split-into-groups upcycling engages automatically "
+                         "whenever expert_hidden < the dense MLP hidden "
+                         "(utils/torch_interop.py)")
+    # token-variant sharing knobs (reference train_fastmoe.py + token/)
+    ap.add_argument("--share_gamma", type=float, default=None)
+    ap.add_argument("--bootstrap_share_gamma", type=float, default=None)
+    ap.add_argument("--bootstrap_first_moe",
+                    type=lambda s: s.lower() not in ("0", "false", "no"),
+                    default=None)
     ap.add_argument("--moe_data_distributed", action="store_true",
                     help="pure data parallelism: replicate experts instead "
                          "of sharding them (forces --n_expert 1)")
@@ -151,7 +163,16 @@ def parse_args(argv=None):
     ap.add_argument("--overfit", action="store_true")
     ap.add_argument("--synthetic", type=int, default=0, metavar="NBATCH",
                     help="train on N synthetic batches/epoch (no dataset needed)")
-    ap.add_argument("--wandb", action="store_true")
+    ap.add_argument("--wandb", "--use_wandb", dest="wandb",
+                    action="store_true")
+    ap.add_argument("--wandb_project", default=None)
+    ap.add_argument("--wandb_entity", default=None)
+    ap.add_argument("--wandb_name", default=None,
+                    help="wandb run name (defaults to --run_name)")
+    ap.add_argument("--forward_hook", action="store_true",
+                    help="dump layer I/O summaries for the first batch to "
+                         "<output_dir>/forward_hook.log (reference "
+                         "utils/tracing.py:56-210)")
     ap.add_argument("--flops", action="store_true",
                     help="print XLA-estimated FLOPs of one forward and exit")
     ap.add_argument("--time", dest="time_fwd", action="store_true",
@@ -215,7 +236,8 @@ def run(args) -> Dict:
                   "gate_task_specific_dim", "moe_capacity_factor", "epochs",
                   "trBatch", "valBatch", "compute_dtype", "save_dir",
                   "run_name", "accumulation_steps", "moe_gate_type",
-                  "moe_mlp_ratio", "num_experts_pertask")
+                  "moe_mlp_ratio", "num_experts_pertask", "share_gamma",
+                  "bootstrap_share_gamma", "bootstrap_first_moe")
         if getattr(args, k) is not None
     }
     for k in ("expert_prune", "regu_experts_fromtask", "regu_sem",
@@ -260,7 +282,9 @@ def run(args) -> Dict:
         args.n_expert = 1
     setup_stdout_tee(p["output_dir"])
     logger = MetricLogger(p["output_dir"], use_wandb=args.wandb, config=p,
-                          run_name=args.run_name)
+                          run_name=args.wandb_name or args.run_name,
+                          project=args.wandb_project,
+                          entity=args.wandb_entity)
     print(f"devices: {jax.devices()}")
     print(f"tasks: {p['TASK_NAMES']}")
 
@@ -352,6 +376,19 @@ def run(args) -> Dict:
             print(f"resumed from epoch {start_epoch - 1}")
         elif args.eval:
             raise FileNotFoundError(f"--eval needs a checkpoint in {ckpt_dir}")
+
+    if args.forward_hook:
+        # layer I/O dump for cross-framework diffing (reference
+        # utils/tracing.py:56-210 writes forward_hook.log)
+        from m3vit_tpu.utils.tracing import dump_trace, trace_model
+
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        traces = trace_model(model, variables, sample["image"], train=False)
+        hook_path = f"{p['output_dir']}/forward_hook.log"
+        dump_trace(traces, hook_path)
+        print(f"[forward_hook] {len(traces)} layer summaries -> {hook_path}")
 
     # cv loss only when enabled (reference gates it on args.use_cv_loss,
     # train_utils.py:440-449)

@@ -263,6 +263,7 @@ def build_model(p, mesh=None, expert_axis: Optional[str] = "expert"):
             gate_task_specific_dim=int(p.get("gate_task_specific_dim", 64)),
             share_gamma=float(p.get("share_gamma", 0.5)),
             bootstrap_share_gamma=float(p.get("bootstrap_share_gamma", 0.3)),
+            bootstrap_first_moe=bool(p.get("bootstrap_first_moe", True)),
             share_reg_lambda=float(p.get("share_reg_lambda", 0.01)),
             capacity_factor=float(p.get("moe_capacity_factor", 2.0)),
             mesh=mesh, expert_axis=expert_axis, dtype=dtype,

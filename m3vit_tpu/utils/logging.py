@@ -41,7 +41,8 @@ class MetricLogger:
     """Namespaced metric logging: wandb when available, jsonl always."""
 
     def __init__(self, output_dir: str, use_wandb: bool = False,
-                 config: Optional[Dict] = None, run_name: Optional[str] = None):
+                 config: Optional[Dict] = None, run_name: Optional[str] = None,
+                 project: Optional[str] = None, entity: Optional[str] = None):
         os.makedirs(output_dir, exist_ok=True)
         self.jsonl = open(os.path.join(output_dir, "metrics.jsonl"), "a")
         self.step = 0
@@ -51,7 +52,8 @@ class MetricLogger:
                 import wandb
 
                 self.wandb = wandb.init(
-                    project="m3vit_tpu", name=run_name,
+                    project=project or "m3vit_tpu", name=run_name,
+                    entity=entity,
                     config={k: str(v) for k, v in (config or {}).items()},
                 )
             except Exception as e:  # wandb not installed / no network
