@@ -56,6 +56,14 @@ def parse_args(argv=None):
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--warmup_epochs", type=int, default=5)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--min_lr", type=float, default=1e-5,
+                    help="cosine floor (reference --min-lr)")
+    ap.add_argument("--opt", default="adamw",
+                    help="adamw | sgd (reference --opt)")
+    ap.add_argument("--momentum", type=float, default=0.9)
+    ap.add_argument("--clip_grad", type=float, default=None,
+                    help="global-norm gradient clipping (reference "
+                         "--clip-grad)")
     ap.add_argument("--weight_decay", type=float, default=0.05)
     ap.add_argument("--smoothing", type=float, default=0.1)
     ap.add_argument("--mixup", type=float, default=0.8)
@@ -149,8 +157,18 @@ def main(argv=None):
     model = build_model(args)
     warmup = args.warmup_epochs * steps_per_epoch
     total = max(args.epochs * steps_per_epoch, warmup + 1)
-    schedule = optax.warmup_cosine_decay_schedule(0.0, args.lr, warmup, total)
-    tx = optax.adamw(schedule, weight_decay=args.weight_decay)
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, warmup, total, end_value=args.min_lr
+    )
+    if args.opt == "sgd":
+        tx = optax.chain(
+            optax.add_decayed_weights(args.weight_decay),
+            optax.sgd(schedule, momentum=args.momentum),
+        )
+    else:
+        tx = optax.adamw(schedule, weight_decay=args.weight_decay)
+    if args.clip_grad is not None:
+        tx = optax.chain(optax.clip_by_global_norm(args.clip_grad), tx)
 
     sample_x = jnp.zeros((2, args.img_size, args.img_size, 3))
     variables = model.init(
