@@ -115,3 +115,169 @@ def test_gate_train_no_noise_matches_reference():
                                   ref_idx.numpy())
     np.testing.assert_allclose(np.asarray(ours.gates), ref_gates.numpy(),
                                atol=1e-6)
+
+
+def _install_full_fmoe_stub():
+    """Pure-torch CPU stand-ins for the fastmoe pieces FMoETransformerMLP
+    touches (fmoe.layers.FMoE/_fmoe_general_global_forward, FMoELinear,
+    unused comm functions).  Behavior matches fastmoe's single-worker path:
+    tokens are repeated top_k times, stably sorted by expert id, run through
+    per-expert linears segment-wise, and scattered back."""
+    import math
+
+    _load_reference_gate()  # ensures base fmoe/gates modules exist
+
+    fmoe = sys.modules["fmoe"]
+    if hasattr(fmoe, "layers"):
+        return
+
+    layers = types.ModuleType("fmoe.layers")
+    linear = types.ModuleType("fmoe.linear")
+    functions = types.ModuleType("fmoe.functions")
+
+    class FMoELinear(torch.nn.Module):
+        def __init__(self, num_expert, in_feat, out_feat, bias=True, rank=0):
+            super().__init__()
+            self.weight = torch.nn.Parameter(
+                torch.empty(num_expert, out_feat, in_feat)
+            )
+            torch.nn.init.kaiming_uniform_(self.weight, a=math.sqrt(5))
+            self.bias = (torch.nn.Parameter(torch.zeros(num_expert, out_feat))
+                         if bias else None)
+
+        def forward(self, inp, fwd_expert_count):
+            out, s = [], 0
+            for e, c in enumerate(fwd_expert_count.tolist()):
+                if c == 0:
+                    continue
+                seg = inp[s:s + c] @ self.weight[e].t()
+                if self.bias is not None:
+                    seg = seg + self.bias[e]
+                out.append(seg)
+                s += c
+            if not out:
+                return inp.new_zeros(0, self.weight.shape[1])
+            return torch.cat(out, 0)
+
+    def _fmoe_general_global_forward(inp, gate_idx, expert_fn, num_expert,
+                                     world_size, **kw):
+        T, k = gate_idx.shape
+        flat = gate_idx.reshape(-1)
+        pos = torch.argsort(flat, stable=True)
+        counts = torch.bincount(flat, minlength=num_expert)
+        x = inp[pos // k]
+        y = expert_fn(x, counts)
+        out = torch.empty_like(y)
+        out[pos] = y
+        return out
+
+    class FMoE(torch.nn.Module):
+        def __init__(self, num_expert=32, d_model=1024, gate=None,
+                     world_size=1, top_k=2, moe_group=None, **kw):
+            super().__init__()
+            self.num_expert = num_expert
+            self.d_model = d_model
+            self.world_size = world_size
+            self.top_k = top_k
+            self.slice_size = 1
+            self.slice_rank = 0
+            self.slice_group = None
+            self.moe_group = moe_group
+            self.mask = None
+            self.mask_dict = None
+            self.gate_hook = None
+
+        def expert_fn(self, inp, fwd_expert_count):
+            return self.experts(inp, fwd_expert_count)
+
+        def mark_parallel_comm(self, expert_dp_comm="none"):
+            pass
+
+    def _unused(*a, **kw):  # comm primitives never hit on 1 worker
+        raise NotImplementedError
+
+    layers.FMoE = FMoE
+    layers._fmoe_general_global_forward = _fmoe_general_global_forward
+    linear.FMoELinear = FMoELinear
+    functions.prepare_forward = _unused
+    functions.ensure_comm = _unused
+    functions.MOEScatter = _unused
+    functions.MOEGather = _unused
+    functions.AllGather = _unused
+    functions.Slice = _unused
+    fmoe.layers = layers
+    fmoe.linear = linear
+    fmoe.functions = functions
+    sys.modules["fmoe.layers"] = layers
+    sys.modules["fmoe.linear"] = linear
+    sys.modules["fmoe.functions"] = functions
+    sys.modules["fmoe.gates"].NaiveGate = object
+
+
+def _load_reference_moe_layer():
+    _install_full_fmoe_stub()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import importlib
+
+    return importlib.import_module("models.moe.ckpt.custom_moe_layer")
+
+
+def test_full_moe_layer_matches_reference():
+    """The COMPLETE MoE FFN layer (gate -> ragged dispatch -> per-expert
+    GELU MLP -> raw-prob combine) vs the reference FMoETransformerMLP running
+    on the actual reference code (fastmoe replaced by a faithful pure-torch
+    single-worker stub).  Capacity is generous so our static dispatch drops
+    nothing, matching fastmoe's ragged semantics exactly."""
+    from m3vit_tpu.moe.dispatch import MoEFfnParams, moe_ffn
+    from m3vit_tpu.moe.gating import noisy_vmoe_gate
+
+    cml = _load_reference_moe_layer()
+    # class identity matters: FMoETransformerMLP checks `gate == NoisyGate_VMoE`
+    # against ITS import of models.moe.ckpt.noisy_gate_vmoe
+    import importlib
+
+    ngv = importlib.import_module("models.moe.ckpt.noisy_gate_vmoe")
+
+    B, N, d, h, E, K = 2, 33, 32, 48, 8, 2
+    torch.manual_seed(0)
+    layer = cml.FMoETransformerMLP(
+        num_expert=E, d_model=d, d_gate=d, d_hidden=h,
+        gate=ngv.NoisyGate_VMoE, world_size=1, top_k=K,
+        vmoe_noisy_std=1.0,
+    )
+    layer.eval()
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(B, N, d).astype(np.float32)
+    with torch.no_grad():
+        ref_out, *_ = layer(torch.from_numpy(x))
+    ref_out = ref_out.numpy()
+
+    # same weights into our functional layer
+    w_gate = layer.gate.w_gate.detach().numpy()          # [d, E]
+    w1 = layer.experts.htoh4.weight.detach().numpy()     # [E, h, d]
+    b1 = layer.experts.htoh4.bias.detach().numpy()       # [E, h]
+    w2 = layer.experts.h4toh.weight.detach().numpy()     # [E, d, h]
+    b2 = layer.experts.h4toh.bias.detach().numpy()       # [E, d]
+
+    gate = noisy_vmoe_gate(
+        jnp.asarray(x.reshape(-1, d)), jnp.asarray(w_gate), top_k=K,
+        noise_std=1.0, train=False,
+    )
+    params = MoEFfnParams(
+        w1=jnp.asarray(w1.transpose(0, 2, 1)),
+        b1=jnp.asarray(b1),
+        w2=jnp.asarray(w2.transpose(0, 2, 1)),
+        b2=jnp.asarray(b2),
+    )
+    ours = moe_ffn(
+        jnp.asarray(x),
+        gate.top_k_indices.reshape(B, N, K),
+        gate.top_k_gates.reshape(B, N, K),
+        params,
+        capacity_factor=float(E),  # no drops -> ragged-equivalent
+        compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_out.reshape(B, N, d),
+                               atol=2e-5)
