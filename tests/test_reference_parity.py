@@ -283,10 +283,7 @@ def test_full_moe_layer_matches_reference():
                                atol=2e-5)
 
 
-def test_full_backbone_matches_reference():
-    """WHOLE-BACKBONE forward parity: the reference VisionTransformerMoE
-    (actual code, fastmoe stubbed) vs our flax backbone with converted
-    weights — eval mode, single gate, tiny config."""
+def _load_reference_backbone_module():
     import importlib
 
     _install_full_fmoe_stub()
@@ -299,22 +296,12 @@ def test_full_backbone_matches_reference():
         sys.modules["timm.layers"] = tl
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
-    vtm = importlib.import_module("models.moe.ckpt.vision_transformer_moe")
+    return importlib.import_module("models.moe.ckpt.vision_transformer_moe")
 
-    from m3vit_tpu.models.vit_moe import VisionTransformerMoE
 
-    IMG, d, depth, heads, E, K, hidden = 64, 64, 2, 4, 8, 2, 64
-    torch.manual_seed(1)
-    ref = vtm.VisionTransformerMoE(
-        model_name="tiny_test", img_size=IMG, patch_size=16, embed_dim=d,
-        depth=depth, num_heads=heads, mlp_ratio=4.0, qkv_bias=True,
-        drop_rate=0.0, moe_mlp_ratio=1, moe_experts=E, moe_top_k=K,
-        world_size=1, moe_gate_type="noisy_vmoe", vmoe_noisy_std=1.0,
-        random_init=True, use_checkpointing=False,
-    )
-    ref.eval()
-    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
-
+def _convert_backbone_sd(sd, depth, multi_gate_tasks=0):
+    """Reference ckpt VisionTransformerMoE state dict -> our flax param tree
+    (tiny configs; dense even blocks, MoE odd blocks)."""
     params = {
         "pos_embed": sd["pos_embed"],
         "cls_token": sd["cls_token"],
@@ -323,6 +310,15 @@ def test_full_backbone_matches_reference():
             "bias": sd["patch_embed.proj.bias"],
         }},
     }
+    if "gate_task_represent.fc1.weight" in sd:
+        params["gate_task_represent"] = {
+            "fc1": {"kernel": sd["gate_task_represent.fc1.weight"].T,
+                    "bias": sd["gate_task_represent.fc1.bias"]},
+            "fc2": {"kernel": sd["gate_task_represent.fc2.weight"].T,
+                    "bias": sd["gate_task_represent.fc2.bias"]},
+            "norm": {"scale": sd["gate_task_represent.norm.weight"],
+                     "bias": sd["gate_task_represent.norm.bias"]},
+        }
     for i in range(depth):
         pre = f"blocks.{i}."
         blk = {
@@ -338,8 +334,15 @@ def test_full_backbone_matches_reference():
             },
         }
         if i % 2 == 1:  # MoE block
+            if multi_gate_tasks > 0:
+                w_gate = np.stack([
+                    sd[pre + f"mlp.gate.{t}.w_gate"]
+                    for t in range(multi_gate_tasks)
+                ])
+            else:
+                w_gate = sd[pre + "mlp.gate.w_gate"][None]
             blk["mlp"] = {
-                "w_gate": sd[pre + "mlp.gate.w_gate"][None],
+                "w_gate": w_gate,
                 "experts_w1":
                     sd[pre + "mlp.experts.htoh4.weight"].transpose(0, 2, 1),
                 "experts_b1": sd[pre + "mlp.experts.htoh4.bias"],
@@ -355,29 +358,95 @@ def test_full_backbone_matches_reference():
                         "bias": sd[pre + "mlp.fc2.bias"]},
             }
         params[f"block_{i}"] = blk
+    return params
+
+
+def _backbone_parity_case(ref_kwargs, our_kwargs, task_ids=(None,),
+                          multi_gate_tasks=0, seed=1, atol=5e-5):
+    """Build both backbones (tiny), convert weights, compare eval forwards
+    for each task id."""
+    from m3vit_tpu.models.vit_moe import VisionTransformerMoE
+    from m3vit_tpu.utils.torch_interop import merge_into
+
+    vtm = _load_reference_backbone_module()
+    IMG, d, depth, heads, E, K = 64, 64, 2, 4, 8, 2
+    torch.manual_seed(seed)
+    ref = vtm.VisionTransformerMoE(
+        model_name="tiny_test", img_size=IMG, patch_size=16, embed_dim=d,
+        depth=depth, num_heads=heads, mlp_ratio=4.0, qkv_bias=True,
+        drop_rate=0.0, moe_mlp_ratio=1, moe_experts=E, moe_top_k=K,
+        world_size=1, moe_gate_type="noisy_vmoe", vmoe_noisy_std=1.0,
+        random_init=True, use_checkpointing=False, **ref_kwargs,
+    )
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = _convert_backbone_sd(sd, depth, multi_gate_tasks)
 
     ours = VisionTransformerMoE(
         img_size=(IMG, IMG), patch_size=16, embed_dim=d, depth=depth,
         num_heads=heads, mlp_ratio=4.0, qkv_bias=True, moe_mlp_ratio=1.0,
-        moe_experts=E, moe_top_k=K, multi_gate=False, num_tasks=0,
-        capacity_factor=8.0, eval_capacity_factor=8.0, dtype=jnp.float32,
-        use_checkpointing=False,
+        moe_experts=E, moe_top_k=K, capacity_factor=8.0,
+        eval_capacity_factor=8.0, dtype=jnp.float32,
+        use_checkpointing=False, **our_kwargs,
     )
-    # validate the converted tree against an init template (shape check)
     rng = np.random.RandomState(7)
     x = rng.randn(2, IMG, IMG, 3).astype(np.float32)
+    tid0 = None if task_ids[0] is None else jnp.asarray(task_ids[0])
     template = ours.init(
         {"params": jax.random.key(0), "gate_noise": jax.random.key(1)},
-        jnp.asarray(x), train=False,
+        jnp.asarray(x), task_id=tid0, train=False,
     )["params"]
-    from m3vit_tpu.utils.torch_interop import merge_into
-
     merged, missing = merge_into(template, params)
     assert not missing, f"unconverted params: {missing}"
 
-    with torch.no_grad():
-        # reference expects NCHW
-        ref_out, ref_cv = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
-    out, cv, _ = ours.apply({"params": merged}, jnp.asarray(x), train=False)
+    for tid in task_ids:
+        with torch.no_grad():
+            ref_out, _ = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                             task_id=tid)
+        out, _, _ = ours.apply(
+            {"params": merged}, jnp.asarray(x),
+            task_id=None if tid is None else jnp.asarray(tid), train=False,
+        )
+        np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                                   atol=atol, err_msg=f"task_id={tid}")
 
-    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), atol=5e-5)
+
+def test_full_backbone_matches_reference():
+    """WHOLE-BACKBONE forward parity: the reference VisionTransformerMoE
+    (actual code, fastmoe stubbed) vs our flax backbone with converted
+    weights — eval mode, single gate, tiny config."""
+    _backbone_parity_case({}, {"multi_gate": False, "num_tasks": 0})
+
+
+def test_full_backbone_multi_gate_matches_reference():
+    """Multi-gate backbone: per-task routers (reference gate ModuleList,
+    custom_moe_layer.py:145-150) — every task pass must match."""
+    T = 3
+    _backbone_parity_case(
+        {"multi_gate": True, "gate_dim": 64 + T},
+        {"multi_gate": True, "num_tasks": T},
+        task_ids=(0, 1, 2), multi_gate_tasks=T, seed=2,
+    )
+
+
+def test_full_backbone_gate_input_ahead_matches_reference():
+    """gate_input_ahead: routing on block-INPUT tokens (reference
+    Block.forward, vision_transformer_moe.py)."""
+    _backbone_parity_case(
+        {"gate_input_ahead": True},
+        {"multi_gate": False, "num_tasks": 0, "gate_input_ahead": True},
+        seed=3,
+    )
+
+
+def test_full_backbone_task_conditioned_matches_reference():
+    """Task-conditioned shared gate: one-hot -> TaskRepresentMlp feature
+    concatenated to the gate input (reference :793-797)."""
+    T, gtsd = 3, 16
+    # the reference derives num_tasks = gate_dim - embed_dim (:638-641)
+    _backbone_parity_case(
+        {"gate_task_specific_dim": gtsd, "gate_dim": 64 + T},
+        {"multi_gate": False, "num_tasks": T,
+         "gate_task_specific_dim": gtsd},
+        task_ids=(0, 2), seed=4,
+    )
