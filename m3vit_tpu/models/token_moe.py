@@ -229,7 +229,10 @@ class TokenBlock(nn.Module):
 
         # ===== MoE block =====
         E = self.num_experts_total()
-        d_gate = C + self.gate_task_specific_dim
+        # per-task gates see raw tokens; only the shared single gate needs
+        # the task embedding to distinguish tasks (reference token/
+        # vision_transformer_moe.py:116-140: d_gate_no_emb vs d_gate_with_emb)
+        d_gate = C if self.multi_gate else C + self.gate_task_specific_dim
         if self.multi_gate:
             w_gate_all = self.param(
                 "w_gate",
@@ -276,10 +279,11 @@ class TokenBlock(nn.Module):
         for t in range(T):
             normed = normed_all[t]
             gate_inp = normed.reshape(-1, C).astype(jnp.float32)
-            te = jnp.broadcast_to(task_emb[t][None, :],
-                                  (gate_inp.shape[0],
-                                   self.gate_task_specific_dim))
-            gate_inp = jnp.concatenate([gate_inp, te], axis=-1)
+            if not self.multi_gate:
+                te = jnp.broadcast_to(task_emb[t][None, :],
+                                      (gate_inp.shape[0],
+                                       self.gate_task_specific_dim))
+                gate_inp = jnp.concatenate([gate_inp, te], axis=-1)
             w_gate = w_gate_all[t if self.multi_gate else 0]
             r = jax.random.fold_in(rng, 100 + t) if rng is not None else None
             gate = noisy_vmoe_gate(
@@ -326,13 +330,16 @@ class TokenBlock(nn.Module):
         stats["computed_tokens"] = computed_tokens
         stats["reused_tokens"] = reused_tokens
 
-        # shared FFN once for shared positions (reference :1001-1014)
+        # shared FFN once for shared positions (reference :1001-1014); its
+        # hidden width follows the DENSE mlp_ratio, not the expert width
+        # (reference TokenBlock: mlp_hidden_dim = dim * mlp_ratio)
+        sh_hidden = int(C * self.mlp_ratio)
         sh_w1 = self.param("shared_ffn_fc1", trunc_normal_init,
-                           (C, self.moe_hidden_dim))
+                           (C, sh_hidden))
         sh_b1 = self.param("shared_ffn_b1", nn.initializers.zeros,
-                           (self.moe_hidden_dim,))
+                           (sh_hidden,))
         sh_w2 = self.param("shared_ffn_fc2", trunc_normal_init,
-                           (self.moe_hidden_dim, C))
+                           (sh_hidden, C))
         sh_b2 = self.param("shared_ffn_b2", nn.initializers.zeros, (C,))
         a = gelu_exact(norm2(shared_x).astype(jnp.float32) @ sh_w1 + sh_b1)
         sh = shared_x + (a @ sh_w2 + sh_b2)

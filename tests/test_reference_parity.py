@@ -450,3 +450,151 @@ def test_full_backbone_task_conditioned_matches_reference():
          "gate_task_specific_dim": gtsd},
         task_ids=(0, 2), seed=4,
     )
+
+
+def test_token_backbone_matches_reference():
+    """Token persistent-sharing backbone parity vs the ACTUAL reference
+    TokenVisionTransformerMoE (eval): per-task attention, shareability ->
+    merge-maintain-split transition, shared broadcast, TS-only dense/MoE,
+    shared FFN.  The reference's eval-mode gumbel_softmax still SAMPLES
+    noise (shareability.py:78) — we pin it to its zero-noise limit
+    (hard argmax), which is exactly our deterministic eval rule."""
+    import importlib
+
+    _install_full_fmoe_stub()
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        tl = types.ModuleType("timm.layers")
+        tl.lecun_normal_ = lambda t, *a, **kw: t
+        timm.layers = tl
+        sys.modules["timm"] = timm
+        sys.modules["timm.layers"] = tl
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    vtm = importlib.import_module("models.moe.token.vision_transformer_moe")
+    shr = importlib.import_module("models.moe.token.shareability")
+
+    # deterministic gumbel: zero-noise limit (hard one-hot of logits)
+    class _DetF:
+        def __getattr__(self, name):
+            return getattr(torch.nn.functional, name)
+
+        @staticmethod
+        def gumbel_softmax(logits, tau=1.0, hard=False, dim=-1):
+            idx = logits.argmax(dim=dim, keepdim=True)
+            return torch.zeros_like(logits).scatter_(dim, idx, 1.0)
+
+    old_F = shr.F
+    shr.F = _DetF()
+    # upstream bug: token _compute_cv_loss calls noise_stddev.mean() on a
+    # python float (noisy_gate_vmoe.py:50 returns raw*training) and crashes
+    # on every forward; neutralize it (we compare token streams, not aux)
+    old_cv = vtm.TokenBlock._compute_cv_loss
+    vtm.TokenBlock._compute_cv_loss = (
+        lambda self, gate_info: torch.tensor(0.0)
+    )
+    try:
+        vtm.load_pretrained_pos_emb = lambda *a, **kw: None
+        vtm.default_cfgs = {"tiny": {}}
+
+        T, IMG, d, depth, heads, E, K, gtsd = 2, 64, 64, 2, 4, 8, 2, 64
+        torch.manual_seed(5)
+        ref = vtm.TokenVisionTransformerMoE(
+            model_name="tiny", img_size=(IMG, IMG), patch_size=16,
+            embed_dim=d, depth=depth, num_heads=heads, mlp_ratio=4.0,
+            qkv_bias=True, drop_rate=0.0, moe_mlp_ratio=1, moe_experts=E,
+            moe_top_k=K, world_size=1, vmoe_noisy_std=1.0,
+            gate_task_specific_dim=gtsd, multi_gate=True, num_tasks=T,
+            random_init=True, share_gamma=0.5, bootstrap_share_gamma=0.3,
+        )
+        ref.eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+        params = {
+            "pos_embed": sd["pos_embed"],
+            "cls_token": sd["cls_token"],
+            "patch_embed": {"proj": {
+                "kernel":
+                    sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0),
+                "bias": sd["patch_embed.proj.bias"],
+            }},
+            "gate_task_represent": {
+                "fc1": {"kernel": sd["gate_task_represent.fc1.weight"].T,
+                        "bias": sd["gate_task_represent.fc1.bias"]},
+                "fc2": {"kernel": sd["gate_task_represent.fc2.weight"].T,
+                        "bias": sd["gate_task_represent.fc2.bias"]},
+                "norm": {"scale": sd["gate_task_represent.norm.weight"],
+                         "bias": sd["gate_task_represent.norm.bias"]},
+            },
+        }
+        for i in range(depth):
+            pre = f"blocks.{i}."
+            blk = {
+                "norm1": {"scale": sd[pre + "norm1.weight"],
+                          "bias": sd[pre + "norm1.bias"]},
+                "norm2": {"scale": sd[pre + "norm2.weight"],
+                          "bias": sd[pre + "norm2.bias"]},
+                "attn": {
+                    "qkv": {"kernel": sd[pre + "attn.qkv.weight"].T,
+                            "bias": sd[pre + "attn.qkv.bias"]},
+                    "proj": {"kernel": sd[pre + "attn.proj.weight"].T,
+                             "bias": sd[pre + "attn.proj.bias"]},
+                },
+                "share_pred": {"w_gate": sd[pre + "share_pred.w_gate"]},
+            }
+            if i % 2 == 1:  # MoE block
+                blk["w_gate"] = np.stack(
+                    [sd[pre + f"gate.{t}.w_gate"] for t in range(T)]
+                )
+                blk["experts_w1"] = \
+                    sd[pre + "mlp.experts.htoh4.weight"].transpose(0, 2, 1)
+                blk["experts_b1"] = sd[pre + "mlp.experts.htoh4.bias"]
+                blk["experts_w2"] = \
+                    sd[pre + "mlp.experts.h4toh.weight"].transpose(0, 2, 1)
+                blk["experts_b2"] = sd[pre + "mlp.experts.h4toh.bias"]
+                blk["shared_ffn_fc1"] = sd[pre + "shared_ffn.fc1.weight"].T
+                blk["shared_ffn_b1"] = sd[pre + "shared_ffn.fc1.bias"]
+                blk["shared_ffn_fc2"] = sd[pre + "shared_ffn.fc2.weight"].T
+                blk["shared_ffn_b2"] = sd[pre + "shared_ffn.fc2.bias"]
+            else:
+                blk["mlp"] = {
+                    "fc1": {"kernel": sd[pre + "mlp.fc1.weight"].T,
+                            "bias": sd[pre + "mlp.fc1.bias"]},
+                    "fc2": {"kernel": sd[pre + "mlp.fc2.weight"].T,
+                            "bias": sd[pre + "mlp.fc2.bias"]},
+                }
+            params[f"block_{i}"] = blk
+
+        from m3vit_tpu.models.token_moe import TokenVisionTransformerMoE
+        from m3vit_tpu.utils.torch_interop import merge_into
+
+        ours = TokenVisionTransformerMoE(
+            img_size=(IMG, IMG), patch_size=16, embed_dim=d, depth=depth,
+            num_heads=heads, mlp_ratio=4.0, qkv_bias=True,
+            moe_mlp_ratio=1.0, moe_experts=E, moe_top_k=K, multi_gate=True,
+            num_tasks=T, gate_task_specific_dim=gtsd, share_gamma=0.5,
+            bootstrap_share_gamma=0.3, capacity_factor=8.0,
+            eval_capacity_factor=8.0, dtype=jnp.float32,
+            use_checkpointing=False,
+        )
+        rng = np.random.RandomState(9)
+        x = rng.randn(2, IMG, IMG, 3).astype(np.float32)
+        template = ours.init(
+            {"params": jax.random.key(0), "gate_noise": jax.random.key(1)},
+            jnp.asarray(x), train=False,
+        )["params"]
+        merged, missing = merge_into(template, params)
+        assert not missing, f"unconverted params: {missing}"
+
+        with torch.no_grad():
+            ref_outs, _ = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        outs, _, stats = ours.apply({"params": merged}, jnp.asarray(x),
+                                    train=False)
+        for t in range(T):
+            np.testing.assert_allclose(
+                np.asarray(outs[t]), ref_outs[t].numpy(), atol=5e-5,
+                err_msg=f"task stream {t}",
+            )
+    finally:
+        shr.F = old_F
+        vtm.TokenBlock._compute_cv_loss = old_cv
