@@ -598,3 +598,97 @@ def test_token_backbone_matches_reference():
     finally:
         shr.F = old_F
         vtm.TokenBlock._compute_cv_loss = old_cv
+
+
+def test_task_conditioned_attention_matches_reference():
+    """Relation-conditioned task attention (§4.2-4.4) vs the ACTUAL reference
+    TaskConditionedAttention: branch embeddings, per-head sparse relation
+    routers, expert QKV pools, private/neutral branch composition."""
+    import importlib
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    rca = importlib.import_module(
+        "models.moe.token.relation_conditioned_attention"
+    )
+    from m3vit_tpu.models.relation_attention import TaskConditionedAttention
+
+    T, B, N, D, H, E, K, bed = 3, 2, 9, 32, 4, 4, 2, 16
+    torch.manual_seed(6)
+    ref = rca.TaskConditionedAttention(
+        dim=D, num_heads=H, num_experts_per_head=E, expert_top_k=K,
+        num_tasks=T, branch_embed_dim=bed, qkv_bias=True,
+    )
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    params = {
+        "branch_embed": sd["branch_embed.embed.weight"],
+        "router_w": np.stack([
+            np.stack([sd[f"routers_{p}.{h}.linear.weight"].T
+                      for h in range(H)])
+            for p in ("q", "k", "v")
+        ]),
+        "router_b": np.stack([
+            np.stack([sd[f"routers_{p}.{h}.linear.bias"] for h in range(H)])
+            for p in ("q", "k", "v")
+        ]),
+        "expert_pools": np.stack([
+            np.stack([sd[f"expert_pools.{h}.expert_{p}"] for h in range(H)])
+            for p in ("q", "k", "v")
+        ]),
+        "q_bias": sd["q_bias"].reshape(H, D // H),
+        "k_bias": sd["k_bias"].reshape(H, D // H),
+        "v_bias": sd["v_bias"].reshape(H, D // H),
+        "proj": {"kernel": sd["proj.weight"].T, "bias": sd["proj.bias"]},
+    }
+
+    # shared bits: position j shared by tasks {0,1} for j<3, {all} for j==3,
+    # none elsewhere; participant streams must agree at shared positions
+    rng = np.random.RandomState(11)
+    streams = rng.randn(T, B, N, D).astype(np.float32)
+    bits = np.zeros((B, N), np.int64)
+    bits[:, :3] = 0b011
+    bits[:, 3] = (1 << T) - 1
+    shared_vals = rng.randn(B, N, D).astype(np.float32)
+    for t in range(T):
+        m = ((bits >> t) & 1).astype(bool)
+        streams[t][m] = shared_vals[m]
+
+    with torch.no_grad():
+        ref_outs = ref(
+            {t: torch.from_numpy(streams[t]) for t in range(T)},
+            torch.from_numpy(bits),
+        )
+
+    ours = TaskConditionedAttention(
+        num_tasks=T, dim=D, num_heads=H, attn_num_experts=E,
+        attn_expert_top_k=K, branch_embed_dim=bed, dtype=jnp.float32,
+    )
+    share_mask = jnp.asarray(
+        np.stack([((bits >> t) & 1).astype(bool) for t in range(T)])
+    )
+    template = ours.init(jax.random.key(0), jnp.asarray(streams), share_mask)
+    from m3vit_tpu.utils.torch_interop import merge_into
+
+    merged, missing = merge_into(template["params"], params)
+    assert not missing, f"unconverted params: {missing}"
+    out = ours.apply({"params": merged}, jnp.asarray(streams), share_mask)
+
+    for t in range(T):
+        np.testing.assert_allclose(
+            np.asarray(out[t]), ref_outs[t].numpy(), atol=5e-5,
+            err_msg=f"task {t}",
+        )
+
+    # probe: no shared positions (the first-block path).  The REFERENCE
+    # crashes here — _task_branch_attention reads proj_cache[(t+1, 0)]
+    # which is only built when has_neutral (relation_conditioned_attention
+    # .py:558-566 vs :327) — i.e. upstream task-conditioned attention can
+    # never run its first block as written.  Ours handles it.
+    with pytest.raises(KeyError):
+        with torch.no_grad():
+            ref({t: torch.from_numpy(streams[t]) for t in range(T)}, None)
+    out0 = ours.apply({"params": merged}, jnp.asarray(streams), None)
+    for t in range(T):
+        assert np.isfinite(np.asarray(out0[t])).all()
