@@ -692,3 +692,79 @@ def test_task_conditioned_attention_matches_reference():
     out0 = ours.apply({"params": merged}, jnp.asarray(streams), None)
     for t in range(T):
         assert np.isfinite(np.asarray(out0[t])).all()
+
+
+def test_cross_stitch_and_nddr_units_match_reference():
+    """Cross-stitch and NDDR fusion units vs the actual reference modules
+    (pure torch, CPU) with copied weights."""
+    import importlib
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    cs = importlib.import_module("models.mtl_methods.cross_stitch")
+    nd = importlib.import_module("models.mtl_methods.nddr_cnn")
+    from m3vit_tpu.models.mtl_methods import CrossStitchUnit, NDDRLayer
+
+    tasks = ["semseg", "depth"]
+    C, B, Hh, Ww = 6, 2, 5, 5
+    rng = np.random.RandomState(21)
+    feats = {t: rng.randn(B, C, Hh, Ww).astype(np.float32) for t in tasks}
+
+    # ---- cross-stitch ----
+    torch.manual_seed(7)
+    ref_cs = cs.CrossStitchUnit(tasks, C, alpha=0.9, beta=0.1)
+    # randomize away from the symmetric init so the test is non-trivial
+    with torch.no_grad():
+        for ti in tasks:
+            for tj in tasks:
+                ref_cs.cross_stitch_unit[ti][tj].param.copy_(
+                    torch.from_numpy(rng.randn(C).astype(np.float32))
+                )
+    with torch.no_grad():
+        ref_out = ref_cs({t: torch.from_numpy(feats[t]) for t in tasks})
+
+    ours_cs = CrossStitchUnit(tuple(tasks), C)
+    nhwc = {t: jnp.asarray(feats[t].transpose(0, 2, 3, 1)) for t in tasks}
+    v = ours_cs.init(jax.random.key(0), nhwc)
+    params = {
+        f"stitch_{ti}_{tj}":
+            ref_cs.cross_stitch_unit[ti][tj].param.detach().numpy()
+        for ti in tasks for tj in tasks
+    }
+    out = ours_cs.apply({"params": params}, nhwc)
+    for t in tasks:
+        np.testing.assert_allclose(
+            np.asarray(out[t]).transpose(0, 3, 1, 2), ref_out[t].numpy(),
+            atol=1e-5, err_msg=f"cross-stitch {t}",
+        )
+
+    # ---- NDDR ----
+    torch.manual_seed(8)
+    ref_nd = nd.NDDRLayer(tasks, C, alpha=0.9, beta=0.1)
+    with torch.no_grad():
+        for t in tasks:
+            ref_nd.layer[t][0].weight.copy_(torch.from_numpy(
+                rng.randn(C, C * len(tasks), 1, 1).astype(np.float32) * 0.2
+            ))
+    ref_nd.eval()
+    with torch.no_grad():
+        ref_out = ref_nd({t: torch.from_numpy(feats[t]) for t in tasks})
+
+    ours_nd = NDDRLayer(tuple(tasks), C)
+    vn = ours_nd.init(jax.random.key(1), nhwc, train=False)
+    pn = dict(vn["params"])
+    for t in tasks:
+        w = ref_nd.layer[t][0].weight.detach().numpy()  # [C, C*T, 1, 1]
+        pn[f"conv_{t}"] = {"kernel": w.transpose(2, 3, 1, 0)}
+        pn[f"bn_{t}"] = {
+            "scale": ref_nd.layer[t][1].weight.detach().numpy(),
+            "bias": ref_nd.layer[t][1].bias.detach().numpy(),
+        }
+    out = ours_nd.apply(
+        {"params": pn, "batch_stats": vn["batch_stats"]}, nhwc, train=False
+    )
+    for t in tasks:
+        np.testing.assert_allclose(
+            np.asarray(out[t]).transpose(0, 3, 1, 2), ref_out[t].numpy(),
+            atol=1e-5, err_msg=f"nddr {t}",
+        )
