@@ -36,6 +36,11 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     dilation: int = 1
+    # second-conv dilation; 0 = same as `dilation`.  The reference's
+    # _nostride_dilate (resnet_dilated.py:35-48) gives the ex-stride conv
+    # dilate//2 but every OTHER 3x3 the full dilate — so the first block of
+    # a dilated stage has asymmetric conv dilations.
+    dilation2: int = 0
     downsample: bool = False
     dtype: Dtype = jnp.float32
 
@@ -46,7 +51,8 @@ class BasicBlock(nn.Module):
                   self.dtype)(x)
         h = _bn(train, "bn1")(h)
         h = jax.nn.relu(h)
-        h = _conv(self.features, 3, 1, self.dilation, "conv2", self.dtype)(h)
+        d2 = self.dilation2 or self.dilation
+        h = _conv(self.features, 3, 1, d2, "conv2", self.dtype)(h)
         h = _bn(train, "bn2")(h)
         if self.downsample:
             identity = _conv(self.features, 1, self.stride, 1, "ds_conv",
@@ -118,11 +124,13 @@ class ResNet(nn.Module):
                 d = dil[si]
                 d_eff = max(d // 2, 1) if (bi == 0 and d > 1) else d
                 need_ds = bi == 0 and (stride != 1 or in_ch != w * expansion)
-                blocks.append(
-                    blk(features=w, stride=stride, dilation=d_eff,
-                        downsample=need_ds, dtype=self.dtype,
-                        name=f"layer{si+1}_{bi}")
-                )
+                kw = dict(features=w, stride=stride, dilation=d_eff,
+                          downsample=need_ds, dtype=self.dtype,
+                          name=f"layer{si+1}_{bi}")
+                if blk is BasicBlock and bi == 0 and d > 1:
+                    # the non-stride conv keeps the full stage dilation
+                    kw["dilation2"] = d
+                blocks.append(blk(**kw))
                 in_ch = w * expansion
             stages.append(tuple(blocks))
         self.stages = tuple(stages)

@@ -768,3 +768,159 @@ def test_cross_stitch_and_nddr_units_match_reference():
             np.asarray(out[t]).transpose(0, 3, 1, 2), ref_out[t].numpy(),
             atol=1e-5, err_msg=f"nddr {t}",
         )
+
+
+def _install_mmcv_stub():
+    if "mmcv" in sys.modules:
+        return
+    mmcv = types.ModuleType("mmcv")
+    cnn = types.ModuleType("mmcv.cnn")
+    cutils = types.ModuleType("mmcv.cnn.utils")
+    winit = types.ModuleType("mmcv.cnn.utils.weight_init")
+    runner = types.ModuleType("mmcv.runner")
+
+    def build_norm_layer(cfg, num_features):
+        return "bn", torch.nn.BatchNorm2d(num_features)
+
+    def normal_init(module, mean=0, std=1, bias=0):
+        torch.nn.init.normal_(module.weight, mean, std)
+        if hasattr(module, "bias") and module.bias is not None:
+            torch.nn.init.constant_(module.bias, bias)
+
+    def _identity_decorator(*a, **kw):
+        def wrap(fn):
+            return fn
+        return wrap
+
+    cnn.build_norm_layer = build_norm_layer
+    winit.normal_init = normal_init
+    cutils.weight_init = winit
+    cnn.utils = cutils
+    runner.auto_fp16 = _identity_decorator
+    runner.force_fp32 = _identity_decorator
+    mmcv.cnn = cnn
+    mmcv.runner = runner
+    sys.modules["mmcv"] = mmcv
+    sys.modules["mmcv.cnn"] = cnn
+    sys.modules["mmcv.cnn.utils"] = cutils
+    sys.modules["mmcv.cnn.utils.weight_init"] = winit
+    sys.modules["mmcv.runner"] = runner
+
+
+def test_pup_head_matches_reference():
+    """PUP decoder head (4x conv-BN-relu + 2x bilinear, reference
+    heads/vit_up_head.py) vs the actual reference code with copied weights."""
+    import importlib
+
+    _install_mmcv_stub()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    vuh = importlib.import_module("models.heads.vit_up_head")
+    from m3vit_tpu.models.heads import VisionTransformerUpHead
+
+    IMG, d, ncls = 64, 32, 5
+    torch.manual_seed(10)
+    ref = vuh.VisionTransformerUpHead(
+        img_size=(IMG, IMG), patch_size=16, embed_dim=d, num_conv=4,
+        num_upsampe_layer=4, p={}, in_channels=d, channels=256,
+        num_classes=ncls,
+    )
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    params = {"norm": {"scale": sd["norm.weight"], "bias": sd["norm.bias"]}}
+    for i in range(5):
+        params[f"conv_{i}"] = {
+            "kernel": sd[f"conv_{i}.weight"].transpose(2, 3, 1, 0),
+            "bias": sd[f"conv_{i}.bias"],
+        }
+    bstats = {}
+    for i in range(4):
+        params[f"syncbn_fc_{i}"] = {
+            "scale": sd[f"syncbn_fc_{i}.weight"],
+            "bias": sd[f"syncbn_fc_{i}.bias"],
+        }
+        bstats[f"syncbn_fc_{i}"] = {
+            "mean": sd[f"syncbn_fc_{i}.running_mean"],
+            "var": sd[f"syncbn_fc_{i}.running_var"],
+        }
+
+    rng = np.random.RandomState(13)
+    tokens = rng.randn(2, 1 + 16, d).astype(np.float32)  # cls + 4x4 grid
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(tokens))
+
+    ours = VisionTransformerUpHead(
+        img_size=(IMG, IMG), patch_size=16, embed_dim=d, num_classes=ncls,
+        dtype=jnp.float32,
+    )
+    out = ours.apply({"params": params, "batch_stats": bstats},
+                     jnp.asarray(tokens), train=False)
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), ref_out.numpy(), atol=1e-4
+    )
+
+
+def test_resnet_dilated_matches_reference():
+    """ResNet-18 + ResnetDilated(8) (reference backbones/resnet.py +
+    resnet_dilated.py) vs our stage-wise flax ResNet with copied weights —
+    including the asymmetric per-conv dilations _nostride_dilate produces in
+    the first block of each dilated stage."""
+    import importlib
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    rres = importlib.import_module("models.backbones.resnet")
+    rdil = importlib.import_module("models.backbones.resnet_dilated")
+    from m3vit_tpu.models.resnet import resnet18
+
+    torch.manual_seed(12)
+    ref = rdil.ResnetDilated(rres.resnet18(pretrained=False), dilate_scale=8)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    def conv(k):
+        return {"kernel": sd[k + ".weight"].transpose(2, 3, 1, 0)}
+
+    def bn(k):
+        return (
+            {"scale": sd[k + ".weight"], "bias": sd[k + ".bias"]},
+            {"mean": sd[k + ".running_mean"], "var": sd[k + ".running_var"]},
+        )
+
+    params = {"conv1": conv("conv1")}
+    bstats = {}
+    params["bn1"], bstats["bn1"] = bn("bn1")
+    for si in range(4):
+        for bi in range(2):  # resnet18: 2 blocks per stage
+            pre = f"layer{si+1}.{bi}"
+            name = f"layer{si+1}_{bi}"
+            blk_p = {
+                "conv1": conv(pre + ".conv1"),
+                "conv2": conv(pre + ".conv2"),
+            }
+            blk_s = {}
+            blk_p["bn1"], blk_s["bn1"] = bn(pre + ".bn1")
+            blk_p["bn2"], blk_s["bn2"] = bn(pre + ".bn2")
+            if pre + ".downsample.0.weight" in sd:
+                blk_p["ds_conv"] = conv(pre + ".downsample.0")
+                blk_p["ds_bn"], blk_s["ds_bn"] = bn(pre + ".downsample.1")
+            params[name] = blk_p
+            bstats[name] = blk_s
+
+    ours = resnet18(dilated=True)
+    rng = np.random.RandomState(17)
+    x = rng.randn(1, 64, 64, 3).astype(np.float32)
+    template = ours.init(jax.random.key(0), jnp.asarray(x), train=False)
+    from m3vit_tpu.utils.torch_interop import merge_into
+
+    merged, missing = merge_into(template["params"], params)
+    assert not missing, f"unconverted: {missing}"
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    out = ours.apply({"params": merged, "batch_stats": bstats},
+                     jnp.asarray(x), train=False)
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), ref_out.numpy(), atol=2e-4
+    )
