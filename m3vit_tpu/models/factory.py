@@ -120,7 +120,9 @@ def build_head(p, task_name: str, num_output: int):
     kw = dict(p.get("head_kwargs") or {})
     dtype = _DTYPES[p.get("compute_dtype", "bfloat16")]
     tam = bool((p.get("model_kwargs") or {}).get("tam", False))
-    if name == "VisionTransformerUpHead":
+    # the reference's token head (token/vit_up_head.py) is the same PUP head
+    # minus TAM taps; 'deeplab' is its ASPP head (heads/aspp.py)
+    if name in ("VisionTransformerUpHead", "TokenVisionTransformerUpHead"):
         return VisionTransformerUpHead(
             img_size=_img_size(kw),
             patch_size=int(kw.get("patch_size", 16)),
