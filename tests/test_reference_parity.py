@@ -924,3 +924,58 @@ def test_resnet_dilated_matches_reference():
     np.testing.assert_allclose(
         np.asarray(out).transpose(0, 3, 1, 2), ref_out.numpy(), atol=2e-4
     )
+
+
+def test_deeplab_aspp_head_matches_reference():
+    """DeepLab/ASPP head (reference heads/aspp.py) vs ours, copied weights."""
+    import importlib
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    raspp = importlib.import_module("models.heads.aspp")
+    from m3vit_tpu.models.cnn_heads import DeepLabHead
+
+    Cin, ncls = 16, 5
+    torch.manual_seed(14)
+    ref = raspp.DeepLabHead(Cin, ncls)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    def conv(k):
+        d = {"kernel": sd[k + ".weight"].transpose(2, 3, 1, 0)}
+        if k + ".bias" in sd:
+            d["bias"] = sd[k + ".bias"]
+        return d
+
+    def bn(k):
+        return (
+            {"scale": sd[k + ".weight"], "bias": sd[k + ".bias"]},
+            {"mean": sd[k + ".running_mean"], "var": sd[k + ".running_var"]},
+        )
+
+    aspp_p, aspp_s = {}, {}
+    aspp_p["conv0"] = conv("0.convs.0.0")
+    aspp_p["bn0"], aspp_s["bn0"] = bn("0.convs.0.1")
+    for i in range(3):
+        aspp_p[f"conv{i+1}"] = conv(f"0.convs.{i+1}.0")
+        aspp_p[f"bn{i+1}"], aspp_s[f"bn{i+1}"] = bn(f"0.convs.{i+1}.1")
+    aspp_p["pool_conv"] = conv("0.convs.4.1")
+    aspp_p["pool_bn"], aspp_s["pool_bn"] = bn("0.convs.4.2")
+    aspp_p["proj_conv"] = conv("0.project.0")
+    aspp_p["proj_bn"], aspp_s["proj_bn"] = bn("0.project.1")
+
+    params = {"aspp": aspp_p, "conv": conv("1"), "classifier": conv("4")}
+    params["bn"], bn_s = bn("2")
+    bstats = {"aspp": aspp_s, "bn": bn_s}
+
+    rng = np.random.RandomState(19)
+    x = rng.randn(2, 16, 7, 9).astype(np.float32)  # NCHW
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))
+    out = DeepLabHead(num_classes=ncls, dtype=jnp.float32).apply(
+        {"params": params, "batch_stats": bstats},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), ref_out.numpy(), atol=2e-5
+    )
