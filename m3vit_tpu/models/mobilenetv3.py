@@ -68,6 +68,15 @@ SMALL = [
 ]
 
 
+def _make_divisible(v, divisor=8):
+    """Round to the nearest multiple of `divisor`, never dropping below 90%
+    (reference mobilenetv3.py:15-32)."""
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
 class SqueezeExcite(nn.Module):
     channels: int
     dtype: Dtype = jnp.float32
@@ -75,7 +84,7 @@ class SqueezeExcite(nn.Module):
     @nn.compact
     def __call__(self, x):
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
-        hidden = max(self.channels // 4, 8)
+        hidden = _make_divisible(self.channels // 4)
         s = nn.Conv(hidden, (1, 1), dtype=self.dtype, name="fc1")(s)
         s = jax.nn.relu(s)
         s = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="fc2")(s)
@@ -92,7 +101,8 @@ class InvertedResidual(nn.Module):
         act = jax.nn.relu if c.act == "relu" else h_swish
         identity = x
         h = x
-        if c.expand != x.shape[-1]:
+        expanded = c.expand != x.shape[-1]
+        if expanded:
             h = nn.Conv(c.expand, (1, 1), use_bias=False, dtype=self.dtype,
                         name="expand")(h)
             h = act(_bn(train, "expand_bn")(h))
@@ -102,9 +112,17 @@ class InvertedResidual(nn.Module):
             padding=((pad, pad), (pad, pad)), feature_group_count=c.expand,
             use_bias=False, dtype=self.dtype, name="dw",
         )(h)
-        h = act(_bn(train, "dw_bn")(h))
-        if c.se:
-            h = SqueezeExcite(c.expand, self.dtype, name="se")(h)
+        h = _bn(train, "dw_bn")(h)
+        if expanded:
+            # expanded blocks: dw-BN -> SE -> act (reference
+            # mobilenetv3.py:105-119); non-expanded: dw-BN -> act -> SE
+            if c.se:
+                h = SqueezeExcite(c.expand, self.dtype, name="se")(h)
+            h = act(h)
+        else:
+            h = act(h)
+            if c.se:
+                h = SqueezeExcite(c.expand, self.dtype, name="se")(h)
         h = nn.Conv(c.out, (1, 1), use_bias=False, dtype=self.dtype,
                     name="project")(h)
         h = _bn(train, "project_bn")(h)

@@ -979,3 +979,92 @@ def test_deeplab_aspp_head_matches_reference():
     np.testing.assert_allclose(
         np.asarray(out).transpose(0, 3, 1, 2), ref_out.numpy(), atol=2e-5
     )
+
+
+def test_mobilenetv3_matches_reference():
+    """MobileNetV3-Large backbone vs the reference (backbones/mobilenetv3.py)
+    with copied weights — covers the expanded-block BN->SE->act ordering and
+    the _make_divisible SE widths."""
+    import importlib
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    rmn = importlib.import_module("models.backbones.mobilenetv3")
+    from m3vit_tpu.models.mobilenetv3 import LARGE, MobileNetV3
+
+    torch.manual_seed(15)
+    ref = rmn.mobilenetv3_large()
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    def conv(k):
+        d = {"kernel": sd[k + ".weight"].transpose(2, 3, 1, 0)}
+        if k + ".bias" in sd:
+            d["bias"] = sd[k + ".bias"]
+        return d
+
+    def dwconv(k):
+        # torch depthwise [C,1,kh,kw] -> flax grouped kernel [kh,kw,1,C]
+        return {"kernel": sd[k + ".weight"].transpose(2, 3, 1, 0)}
+
+    def bn(k):
+        return (
+            {"scale": sd[k + ".weight"], "bias": sd[k + ".bias"]},
+            {"mean": sd[k + ".running_mean"], "var": sd[k + ".running_var"]},
+        )
+
+    def se(k):
+        # torch Linear [h, C] / [C, h] -> 1x1 conv kernels
+        return {
+            "fc1": {"kernel": sd[k + ".fc.0.weight"].T[None, None],
+                    "bias": sd[k + ".fc.0.bias"]},
+            "fc2": {"kernel": sd[k + ".fc.2.weight"].T[None, None],
+                    "bias": sd[k + ".fc.2.bias"]},
+        }
+
+    params = {"stem": conv("features.0.0")}
+    bstats = {}
+    params["stem_bn"], bstats["stem_bn"] = bn("features.0.1")
+    in_ch = 16
+    for i, cfg in enumerate(LARGE):
+        pre = f"features.{i + 1}.conv"
+        name = f"block{i}"
+        bp, bs = {}, {}
+        if cfg.expand == in_ch:  # no expansion: dw,bn,act,SE,pw,bn
+            bp["dw"] = dwconv(pre + ".0")
+            bp["dw_bn"], bs["dw_bn"] = bn(pre + ".1")
+            if cfg.se:
+                bp["se"] = se(pre + ".3")
+            bp["project"] = conv(pre + ".4")
+            bp["project_bn"], bs["project_bn"] = bn(pre + ".5")
+        else:  # pw,bn,act,dw,bn,SE,act,pw,bn
+            bp["expand"] = conv(pre + ".0")
+            bp["expand_bn"], bs["expand_bn"] = bn(pre + ".1")
+            bp["dw"] = dwconv(pre + ".3")
+            bp["dw_bn"], bs["dw_bn"] = bn(pre + ".4")
+            if cfg.se:
+                bp["se"] = se(pre + ".5")
+            bp["project"] = conv(pre + ".7")
+            bp["project_bn"], bs["project_bn"] = bn(pre + ".8")
+        params[name] = bp
+        bstats[name] = bs
+        in_ch = cfg.out
+    params["head_conv"] = conv("conv.0")
+    params["head_bn"], bstats["head_bn"] = bn("conv.1")
+
+    rng = np.random.RandomState(23)
+    x = rng.randn(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    ours = MobileNetV3(variant="large", dtype=jnp.float32)
+    template = ours.init(jax.random.key(0), jnp.asarray(x), train=False)
+    from m3vit_tpu.utils.torch_interop import merge_into
+
+    merged, missing = merge_into(template["params"], params)
+    assert not missing, f"unconverted: {missing}"
+    out = ours.apply({"params": merged, "batch_stats": bstats},
+                     jnp.asarray(x), train=False)
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), ref_out.numpy(), atol=2e-4
+    )
