@@ -1068,3 +1068,115 @@ def test_mobilenetv3_matches_reference():
     np.testing.assert_allclose(
         np.asarray(out).transpose(0, 3, 1, 2), ref_out.numpy(), atol=2e-4
     )
+
+
+def test_hrnet_w18_matches_reference():
+    """HRNet-W18-small-v2 vs the reference seg_hrnet.py (loaded with its own
+    model_info/hrnet_w18.yml config) with copied weights — stem, bottleneck
+    stage 1, transitions, all multi-resolution modules and SUM fusions."""
+    import importlib
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    if not hasattr(np, "int"):  # reference uses np.int (removed in numpy>=1.24)
+        np.int = int
+    shr = importlib.import_module("models.backbones.seg_hrnet")
+    from m3vit_tpu.models.hrnet import hrnet_w18
+
+    torch.manual_seed(16)
+    ref = shr.hrnet_w18(pretrained=False)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    def conv(k):
+        return {"kernel": sd[k + ".weight"].transpose(2, 3, 1, 0)}
+
+    def bn(k):
+        return (
+            {"scale": sd[k + ".weight"], "bias": sd[k + ".bias"]},
+            {"mean": sd[k + ".running_mean"], "var": sd[k + ".running_var"]},
+        )
+
+    def block(pre, bottleneck=False):
+        p, s = {}, {}
+        convs = ("conv1", "conv2", "conv3") if bottleneck else ("conv1",
+                                                                "conv2")
+        for c in convs:
+            p[c] = conv(f"{pre}.{c}")
+            p["bn" + c[-1]], s["bn" + c[-1]] = bn(f"{pre}.bn{c[-1]}")
+        if f"{pre}.downsample.0.weight" in sd:
+            p["ds_conv"] = conv(f"{pre}.downsample.0")
+            p["ds_bn"], s["ds_bn"] = bn(f"{pre}.downsample.1")
+        return p, s
+
+    params, bstats = {}, {}
+    params["stem_conv1"] = conv("conv1")
+    params["stem_bn1"], bstats["stem_bn1"] = bn("bn1")
+    params["stem_conv2"] = conv("conv2")
+    params["stem_bn2"], bstats["stem_bn2"] = bn("bn2")
+    for b in range(2):
+        params[f"layer1_{b}"], bstats[f"layer1_{b}"] = block(
+            f"layer1.{b}", bottleneck=True
+        )
+
+    # transitions: ours trans{nb}_{i} <- reference transition{nb-1}.{i}
+    # (existing branch with changed channels: Sequential(conv,bn,relu);
+    #  new branch: Sequential(Sequential(conv,bn,relu)))
+    for nb, tname in ((2, "transition1"), (3, "transition2"),
+                      (4, "transition3")):
+        for i in range(nb):
+            flat = f"{tname}.{i}.0"
+            nested = f"{tname}.{i}.0.0"
+            if nested + ".weight" in sd:
+                params[f"trans{nb}_{i}_conv"] = conv(nested)
+                params[f"trans{nb}_{i}_bn"], bstats[f"trans{nb}_{i}_bn"] = \
+                    bn(f"{tname}.{i}.0.1")
+            elif flat + ".weight" in sd:
+                params[f"trans{nb}_{i}_conv"] = conv(flat)
+                params[f"trans{nb}_{i}_bn"], bstats[f"trans{nb}_{i}_bn"] = \
+                    bn(f"{tname}.{i}.1")
+
+    # stages: ours stage{nb}_module{m}
+    for nb, sname, n_mod in ((2, "stage2", 1), (3, "stage3", 3),
+                             (4, "stage4", 2)):
+        for m in range(n_mod):
+            mp, ms = {}, {}
+            for br in range(nb):
+                for blk in range(2):
+                    mp[f"branch{br}_block{blk}"], ms[f"branch{br}_block{blk}"] \
+                        = block(f"{sname}.{m}.branches.{br}.{blk}")
+            for i in range(nb):
+                for j in range(nb):
+                    if j > i:
+                        base = f"{sname}.{m}.fuse_layers.{i}.{j}"
+                        mp[f"fuse{i}_{j}_conv"] = conv(base + ".0")
+                        mp[f"fuse{i}_{j}_bn"], ms[f"fuse{i}_{j}_bn"] = \
+                            bn(base + ".1")
+                    elif j < i:
+                        for k in range(i - j):
+                            base = f"{sname}.{m}.fuse_layers.{i}.{j}.{k}"
+                            mp[f"fuse{i}_{j}_ds{k}_conv"] = conv(base + ".0")
+                            (mp[f"fuse{i}_{j}_ds{k}_bn"],
+                             ms[f"fuse{i}_{j}_ds{k}_bn"]) = bn(base + ".1")
+            params[f"stage{nb}_module{m}"] = mp
+            bstats[f"stage{nb}_module{m}"] = ms
+
+    rng = np.random.RandomState(29)
+    x = rng.randn(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref_outs = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    ours = hrnet_w18()
+    template = ours.init(jax.random.key(0), jnp.asarray(x), train=False)
+    from m3vit_tpu.utils.torch_interop import merge_into
+
+    merged, missing = merge_into(template["params"], params)
+    assert not missing, f"unconverted: {missing}"
+    outs = ours.apply({"params": merged, "batch_stats": bstats},
+                      jnp.asarray(x), train=False)
+    assert len(outs) == len(ref_outs) == 4
+    for i in range(4):
+        np.testing.assert_allclose(
+            np.asarray(outs[i]).transpose(0, 3, 1, 2), ref_outs[i].numpy(),
+            atol=5e-4, err_msg=f"stream {i}",
+        )
