@@ -40,12 +40,17 @@ class MixtureBottleneck(nn.Module):
     stride: int = 1
     dilation: int = 1
     downsample: bool = False
+    # reference MixtureBottleBlock (backbones/resnet.py:347-512):
+    # inner=True widens the two inner convs by `expand` (kk) and gates ONLY
+    # them; the third (output) gate's parameters exist but are never applied
+    expand: float = 1.0
+    inner: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, y, task: str, train: bool = False):
         identity = x
-        width = self.planes
+        width = int(self.planes * self.expand) if self.inner else self.planes
         gates = {}
         for t in self.tasks:
             for g, dim in enumerate((width, width, self.planes * 4)):
@@ -53,6 +58,10 @@ class MixtureBottleneck(nn.Module):
                     dim, use_bias=False, kernel_init=_ones_init,
                     name=f"gate_{t}_{g}",
                 )
+        if self.inner:
+            # keep the unused output-gate parameters materialized like the
+            # reference (they would otherwise be dropped from the tree)
+            _ = gates[(task, 2)](y)
 
         def masked(out, g):
             mask = jax.nn.relu(gates[(task, g)](y))  # [B, C]
@@ -68,12 +77,15 @@ class MixtureBottleneck(nn.Module):
         h = jax.nn.relu(h)
         h = _conv(self.planes * 4, 1, 1, 1, "conv3", self.dtype)(h)
         h = _bn(train, "bn3")(h)
-        h, d2 = masked(h, 2)
+        if self.inner:
+            density = (d0 + d1) / 2.0
+        else:
+            h, d2 = masked(h, 2)
+            density = (d0 + d1 + d2) / 3.0
         if self.downsample:
             identity = _conv(self.planes * 4, 1, self.stride, 1, "ds_conv",
                              self.dtype)(x)
             identity = _bn(train, "ds_bn")(identity)
-        density = (d0 + d1 + d2) / 3.0
         return jax.nn.relu(h + identity), density
 
 
@@ -125,7 +137,8 @@ class MixtureResNet(nn.Module):
                 h, dens = MixtureBottleneck(
                     planes=w, tasks=tuple(self.tasks),
                     input_dim=self.input_dim, stride=stride, dilation=d_eff,
-                    downsample=need_ds, dtype=self.dtype,
+                    downsample=need_ds, expand=2.0, inner=True,
+                    dtype=self.dtype,
                     name=f"layer{si+1}_{bi}",
                 )(h, y, task, train)
                 density = density + dens

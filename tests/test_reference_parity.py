@@ -1180,3 +1180,73 @@ def test_hrnet_w18_matches_reference():
             np.asarray(outs[i]).transpose(0, 3, 1, 2), ref_outs[i].numpy(),
             atol=5e-4, err_msg=f"stream {i}",
         )
+
+
+def test_mixture_gated_block_matches_reference():
+    """DeepMoE channel-gated bottleneck (reference MixtureBottleBlock,
+    backbones/resnet.py:347-512, inner=True kk=2 as mixture_inner_resnet_50
+    uses it): inner convs widened 2x, per-task relu gates applied after bn1
+    and bn2 only."""
+    import importlib
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    rres = importlib.import_module("models.backbones.resnet")
+    from m3vit_tpu.models.mixture import MixtureBottleneck
+
+    tasks = ["semseg", "depth"]
+    inplanes, planes, idim = 16, 8, 10
+    torch.manual_seed(18)
+    ds = torch.nn.Sequential(
+        torch.nn.Conv2d(inplanes, planes * 4, 1, bias=False),
+        torch.nn.BatchNorm2d(planes * 4),
+    )
+    ref = rres.MixtureBottleBlock(
+        inplanes, planes, tasks, expand=2, input_dim=idim, stride=1,
+        downsample=ds, init="u,-0.5,0.5", inner=True,
+    )
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    def conv(k):
+        return {"kernel": sd[k + ".weight"].transpose(2, 3, 1, 0)}
+
+    def bn(k):
+        return (
+            {"scale": sd[k + ".weight"], "bias": sd[k + ".bias"]},
+            {"mean": sd[k + ".running_mean"], "var": sd[k + ".running_var"]},
+        )
+
+    params, bstats = {}, {}
+    for c in ("conv1", "conv2", "conv3"):
+        params[c] = conv(c)
+        params["bn" + c[-1]], bstats["bn" + c[-1]] = bn("bn" + c[-1])
+    params["ds_conv"] = conv("downsample.0")
+    params["ds_bn"], bstats["ds_bn"] = bn("downsample.1")
+    for t in tasks:
+        for g in range(3):
+            params[f"gate_{t}_{g}"] = {
+                "kernel": sd[f"gate{t}_{g}.weight"].T
+            }
+
+    rng = np.random.RandomState(31)
+    x = rng.randn(2, inplanes, 6, 6).astype(np.float32)
+    yv = rng.randn(2, idim).astype(np.float32)
+    ours = MixtureBottleneck(
+        planes=planes, tasks=tuple(tasks), input_dim=idim, downsample=True,
+        expand=2.0, inner=True, dtype=jnp.float32,
+    )
+    for task in tasks:
+        with torch.no_grad():
+            ref_out, masks, costs, *_ = ref(
+                torch.from_numpy(x), torch.from_numpy(yv), task
+            )
+        out, density = ours.apply(
+            {"params": params, "batch_stats": bstats},
+            jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(yv), task,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out).transpose(0, 3, 1, 2), ref_out.numpy(),
+            atol=2e-5, err_msg=task,
+        )
+        assert len(masks) == 2  # inner=True: only two gates applied
