@@ -1250,3 +1250,69 @@ def test_mixture_gated_block_matches_reference():
             atol=2e-5, err_msg=task,
         )
         assert len(masks) == 2  # inner=True: only two gates applied
+
+
+def test_mtan_units_match_reference():
+    """MTAN attention layer + refinement block vs the reference modules."""
+    import importlib
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    rmtan = importlib.import_module("models.mtl_methods.mtan")
+    from m3vit_tpu.models.mtl_methods import AttentionLayer, RefinementBlock
+
+    Cin, Cmid, Cout = 12, 3, 12
+    torch.manual_seed(20)
+    ref_att = rmtan.AttentionLayer(Cin, Cmid, Cout)
+    ref_att.eval()
+    sd = {k: v.detach().numpy() for k, v in ref_att.state_dict().items()}
+
+    def conv(k):
+        d = {"kernel": sd[k + ".weight"].transpose(2, 3, 1, 0)}
+        if k + ".bias" in sd:
+            d["bias"] = sd[k + ".bias"]
+        return d
+
+    def bn(k):
+        return (
+            {"scale": sd[k + ".weight"], "bias": sd[k + ".bias"]},
+            {"mean": sd[k + ".running_mean"], "var": sd[k + ".running_var"]},
+        )
+
+    params = {"conv1": conv("0"), "conv2": conv("3")}
+    bstats = {}
+    params["bn1"], bstats["bn1"] = bn("1")
+    params["bn2"], bstats["bn2"] = bn("4")
+
+    rng = np.random.RandomState(33)
+    x = rng.randn(2, Cin, 6, 6).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref_att(torch.from_numpy(x))
+    out = AttentionLayer(Cmid, Cout).apply(
+        {"params": params, "batch_stats": bstats},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), ref_out.numpy(), atol=1e-5
+    )
+
+    # refinement block = one torchvision-style Bottleneck with 1x1 downsample
+    torch.manual_seed(21)
+    ref_ref = rmtan.RefinementBlock(Cin, 16)
+    ref_ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref_ref.state_dict().items()}
+    bp, bs = {}, {}
+    for c in ("conv1", "conv2", "conv3"):
+        bp[c] = conv(f"0.{c}")
+        bp["bn" + c[-1]], bs["bn" + c[-1]] = bn(f"0.bn{c[-1]}")
+    bp["ds_conv"] = conv("0.downsample.0")
+    bp["ds_bn"], bs["ds_bn"] = bn("0.downsample.1")
+    with torch.no_grad():
+        ref_out = ref_ref(torch.from_numpy(x))
+    out = RefinementBlock(16).apply(
+        {"params": {"bottleneck": bp}, "batch_stats": {"bottleneck": bs}},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), ref_out.numpy(), atol=1e-5
+    )
