@@ -380,10 +380,13 @@ class FPM(nn.Module):
         shared = nn.Conv(C, (1, 1), name="nl_out")(h)
 
         B, H, W, _ = concat.shape
+        # the reference's view(B, C//N, N, H, W) + softmax(dim=2) normalizes
+        # over groups of N CONSECUTIVE channels (mti_net.py:89-91) — match
+        # that exact grouping, not a per-task-block one
         mask = jax.nn.softmax(
-            shared.reshape(B, H, W, N, C // N), axis=3
+            shared.reshape(B, H, W, C // N, N), axis=4
         )
-        mixed = (mask * concat.reshape(B, H, W, N, C // N)).reshape(B, H, W, C)
+        mixed = (mask * concat.reshape(B, H, W, C // N, N)).reshape(B, H, W, C)
         mixed = BasicBlock(self.per_task_channels, downsample=True,
                            name="dim_red")(mixed, train)
         out = {}

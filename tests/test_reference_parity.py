@@ -1316,3 +1316,76 @@ def test_mtan_units_match_reference():
     np.testing.assert_allclose(
         np.asarray(out).transpose(0, 3, 1, 2), ref_out.numpy(), atol=1e-5
     )
+
+
+def test_mti_fpm_matches_reference():
+    """MTI-Net Feature Propagation Module vs the reference (mti_net.py:56-100)
+    with copied weights — incl. the consecutive-channel softmax grouping."""
+    import importlib
+
+    _install_mmcv_stub()  # mti_net -> padnet -> mmcv
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    rmti = importlib.import_module("models.mtl_methods.mti_net")
+    from m3vit_tpu.models.mtl_methods import FPM
+
+    tasks = ["semseg", "depth"]
+    ptc = 32  # per-task channels (r=16 must divide ptc)
+    torch.manual_seed(22)
+    ref = rmti.FPM(tasks, ptc)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    def conv(k):
+        d = {"kernel": sd[k + ".weight"].transpose(2, 3, 1, 0)}
+        if k + ".bias" in sd:
+            d["bias"] = sd[k + ".bias"]
+        return d
+
+    def bn(k):
+        return (
+            {"scale": sd[k + ".weight"], "bias": sd[k + ".bias"]},
+            {"mean": sd[k + ".running_mean"], "var": sd[k + ".running_var"]},
+        )
+
+    def basic(pre):
+        p, s = {}, {}
+        p["conv1"] = conv(pre + ".conv1")
+        p["conv2"] = conv(pre + ".conv2")
+        p["bn1"], s["bn1"] = bn(pre + ".bn1")
+        p["bn2"], s["bn2"] = bn(pre + ".bn2")
+        if pre + ".downsample.0.weight" in sd:
+            p["ds_conv"] = conv(pre + ".downsample.0")
+            p["ds_bn"], s["ds_bn"] = bn(pre + ".downsample.1")
+        return p, s
+
+    params, bstats = {}, {}
+    params["nl1"], bstats["nl1"] = basic("non_linear.0")
+    params["nl2"], bstats["nl2"] = basic("non_linear.1")
+    params["nl_out"] = conv("non_linear.2")
+    params["dim_red"], bstats["dim_red"] = basic("dimensionality_reduction")
+    for t in tasks:
+        params[f"se_{t}"] = {
+            "fc1": {"kernel": sd[f"se.{t}.squeeze.0.weight"].T,
+                    "bias": sd[f"se.{t}.squeeze.0.bias"]},
+            "fc2": {"kernel": sd[f"se.{t}.squeeze.2.weight"].T,
+                    "bias": sd[f"se.{t}.squeeze.2.bias"]},
+        }
+
+    rng = np.random.RandomState(35)
+    feats = {
+        f"features_{t}": rng.randn(2, ptc, 5, 5).astype(np.float32)
+        for t in tasks
+    }
+    with torch.no_grad():
+        ref_out = ref({k: torch.from_numpy(v) for k, v in feats.items()})
+    out = FPM(tuple(tasks), ptc).apply(
+        {"params": params, "batch_stats": bstats},
+        {k: jnp.asarray(v.transpose(0, 2, 3, 1)) for k, v in feats.items()},
+        train=False,
+    )
+    for t in tasks:
+        np.testing.assert_allclose(
+            np.asarray(out[t]).transpose(0, 3, 1, 2), ref_out[t].numpy(),
+            atol=2e-5, err_msg=t,
+        )
