@@ -340,9 +340,12 @@ def run(args) -> Dict:
     # only materialize when the backbone sees `sem` — initialize with it
     use_sem = (args.regu_sem or args.sem_force or args.regu_subimage) \
         and "semseg" in tasks
-    init_kwargs = {"sem": sample["semseg"]} if use_sem else None
+    init_kwargs = {"sem": sample["semseg"]} if use_sem else {}
+    if bool((p.get("model_kwargs") or {}).get("tam", False)):
+        # TAM fusion modules only materialize parameters in train mode
+        init_kwargs["train"] = True
     state = create_train_state(model, jax.random.key(args.seed), sample, tx,
-                               train_kwargs=init_kwargs)
+                               train_kwargs=init_kwargs or None)
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"parameters: {n_params/1e6:.2f}M, steps/epoch: {steps_per_epoch}")
 

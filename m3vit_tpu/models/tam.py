@@ -45,7 +45,10 @@ class TamModule(nn.Module):
         n = len(self.tasks)
         ic = self.input_channels
         conv = lambda feats, k, s, name: nn.Conv(
-            feats, (k, k), strides=(s, s), padding="SAME", dtype=self.dtype,
+            feats, (k, k), strides=(s, s),
+            padding=((k // 2, k // 2), (k // 2, k // 2)),  # torch p=k//2,
+            # symmetric even under stride 2 (SAME pads (0,1) on even inputs)
+            dtype=self.dtype,
             name=name,
         )
 
@@ -75,11 +78,20 @@ class TamModule(nn.Module):
         h = jax.nn.relu(_bn(train, "encoder0_bn")(h))
         h = conv(ic, 3, 2, "encoder1_conv")(h)
         h = jax.nn.relu(_bn(train, "encoder1_bn")(h))
-        h = nn.ConvTranspose(ic, (3, 3), strides=(2, 2), padding="SAME",
-                             dtype=self.dtype, name="decoder0_conv")(h)
+
+        def convT(x, name):
+            # torch ConvTranspose2d(k=3, s=2, p=1, output_padding=1)
+            # alignment: VALID fractionally-strided conv cropped to
+            # rows/cols [1, 2H+1) — flax 'SAME' aligns differently
+            hh, ww = x.shape[1], x.shape[2]
+            y = nn.ConvTranspose(ic, (3, 3), strides=(2, 2),
+                                 padding="VALID", dtype=self.dtype,
+                                 name=name)(x)
+            return y[:, 1:1 + 2 * hh, 1:1 + 2 * ww, :]
+
+        h = convT(h, "decoder0_conv")
         h = jax.nn.relu(_bn(train, "decoder0_bn")(h))
-        h = nn.ConvTranspose(ic, (3, 3), strides=(2, 2), padding="SAME",
-                             dtype=self.dtype, name="decoder1_conv")(h)
+        h = convT(h, "decoder1_conv")
         h = _bn(train, "decoder1_bn")(h)
         M = jax.nn.sigmoid(h)
 

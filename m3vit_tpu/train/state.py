@@ -20,13 +20,19 @@ def create_train_state(
     tx,
     train_kwargs: Optional[Dict] = None,
 ) -> TrainState:
-    """Initialize model variables from a sample batch and wrap in TrainState."""
+    """Initialize model variables from a sample batch and wrap in TrainState.
+
+    train_kwargs may carry a 'train' flag: train-only submodules (e.g. the
+    TAM fusion heads) only materialize their parameters when initialized in
+    train mode.
+    """
     train_kwargs = dict(train_kwargs or {})
+    train_flag = bool(train_kwargs.pop("train", False))
     p_rng, g_rng, d_rng = jax.random.split(rng, 3)
     variables = model.init(
         {"params": p_rng, "gate_noise": g_rng, "dropout": d_rng},
         sample_batch["image"],
-        train=False,
+        train=train_flag,
         **train_kwargs,
     )
     return TrainState.create(

@@ -1389,3 +1389,84 @@ def test_mti_fpm_matches_reference():
             np.asarray(out[t]).transpose(0, 3, 1, 2), ref_out[t].numpy(),
             atol=2e-5, err_msg=t,
         )
+
+
+def test_tam_module_matches_reference():
+    """TAM task-attention fusion vs the reference TamModule (models.py:11-135)
+    with copied weights: gate block, weighted gated concat, encoder/decoder
+    bottleneck (incl. ConvTranspose alignment), per-task heads."""
+    import importlib
+
+    _install_mmcv_stub()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    rmod = importlib.import_module("models.models")
+    from m3vit_tpu.models.tam import TamModule
+
+    tasks = ["semseg", "depth", "sal"]
+    ic = 8
+
+    class _T:
+        NUM_OUTPUT = {"semseg": 4, "depth": 1, "sal": 1}
+
+    class _P(dict):
+        TASKS = _T()
+
+    torch.manual_seed(24)
+    ref = rmod.TamModule(_P(), tasks, ic, norm_cfg=None)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    def conv(k):
+        d = {"kernel": sd[k + ".weight"].transpose(2, 3, 1, 0)}
+        if k + ".bias" in sd:
+            d["bias"] = sd[k + ".bias"]
+        return d
+
+    def convT(k):
+        # torch ConvTranspose2d weight [Cin, Cout, kh, kw] -> flax
+        # ConvTranspose kernel [kh, kw, Cin, Cout]... flax uses the
+        # transposed-conv convention with flipped spatial taps
+        w = sd[k + ".weight"]
+        return {"kernel": w.transpose(2, 3, 0, 1)[::-1, ::-1].copy(),
+                "bias": sd[k + ".bias"]}
+
+    def bn(k):
+        return (
+            {"scale": sd[k + ".weight"], "bias": sd[k + ".bias"]},
+            {"mean": sd[k + ".running_mean"], "var": sd[k + ".running_var"]},
+        )
+
+    params, bstats = {}, {}
+    for i in range(3):
+        params[f"layers{i}_conv"] = conv(f"layers{i}.0")
+        params[f"layers{i}_bn"], bstats[f"layers{i}_bn"] = bn(f"layers{i}.1")
+    for i in range(2):
+        params[f"encoder{i}_conv"] = conv(f"encoder{i}.0")
+        params[f"encoder{i}_bn"], bstats[f"encoder{i}_bn"] = \
+            bn(f"encoder{i}.1")
+        params[f"decoder{i}_conv"] = convT(f"decoder{i}.0")
+        params[f"decoder{i}_bn"], bstats[f"decoder{i}_bn"] = \
+            bn(f"decoder{i}.1")
+    for t in tasks:
+        params[f"layers3_{t}_conv"] = conv(f"layers3.{t}.0")
+        params[f"layers3_{t}_bn"], bstats[f"layers3_{t}_bn"] = \
+            bn(f"layers3.{t}.1")
+        params[f"layers4_{t}"] = conv(f"layers4.{t}.0")
+
+    rng = np.random.RandomState(37)
+    feats = {t: rng.randn(2, ic, 8, 8).astype(np.float32) for t in tasks}
+    with torch.no_grad():
+        ref_out = ref({t: torch.from_numpy(v) for t, v in feats.items()})
+
+    ours = TamModule(tuple(tasks), ic, _T.NUM_OUTPUT, dtype=jnp.float32)
+    out = ours.apply(
+        {"params": params, "batch_stats": bstats},
+        {t: jnp.asarray(v.transpose(0, 2, 3, 1)) for t, v in feats.items()},
+        train=False,
+    )
+    for t in tasks:
+        np.testing.assert_allclose(
+            np.asarray(out[t]).transpose(0, 3, 1, 2), ref_out[t].numpy(),
+            atol=5e-5, err_msg=t,
+        )
