@@ -24,6 +24,10 @@ import jax.numpy as jnp
 
 TARGET_IMGS_PER_SEC_PER_CHIP = 24.0  # 3x estimated A100+fastmoe (see docstring)
 
+# persistent compile cache: the flagship step takes ~4 min to compile cold
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
 
 def main():
     from __graft_entry__ import build_flagship

@@ -52,10 +52,14 @@ class VisionTransformerUpHead(nn.Module):
             x = x.reshape(b, h, w, c)
 
         x = x.astype(self.dtype)
-        norm = lambda name: nn.BatchNorm(
+        # BN statistics/affine stay f32 (SyncBN parity), but the normalized
+        # activations are cast back to the model dtype immediately so the
+        # relu -> 2x bilinear resize -> conv chain moves bf16, not f32
+        # (measured: f32 inter-conv buffers at 256^2 cost ~10ms/step x5 heads)
+        norm = lambda name: (lambda y: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32, name=name,
-        )
+        )(y).astype(self.dtype))
         conv = lambda feats, k, name: nn.Conv(
             feats, kernel_size=(k, k), padding="SAME", dtype=self.dtype, name=name
         )

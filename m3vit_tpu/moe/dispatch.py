@@ -6,10 +6,16 @@ This replaces the reference's fastmoe CUDA path
 models/moe/ckpt/custom_moe_layer.py:263-265) with an XLA-friendly design:
 
   * static-capacity token buckets per expert ([E, C, d]) — all shapes static
-  * position-in-expert computed with a cumsum over a one-hot matrix (VPU)
-  * dispatch/combine as scatter-add/gather (differentiable; their transposes
-    are gather/scatter, so the backward pass is the mirrored exchange, exactly
-    like fastmoe's MOEScatter/MOEGather autograd functions)
+  * a sort-derived *dispatch plan* (src/dst index vectors) computed once per
+    layer: stable argsort by expert id + vectorized searchsorted for the
+    per-expert group starts (no bincount scatter-adds)
+  * dispatch AND combine as pure row GATHERS with custom VJPs whose backward
+    passes are also gathers.  Because src and dst are inverse permutations
+    (plus capacity drops), no TPU scatter is ever needed for the token data —
+    scatters serialize row-by-row on TPU (~86 GB/s measured) while gathers
+    stream near memory bandwidth.  This mirrors fastmoe's hand-written
+    MOEScatter/MOEGather autograd pair, but with both directions expressed as
+    the cheap operation.
   * expert FFN as batched per-expert GEMMs on the MXU (einsum or the Pallas
     fused kernel in m3vit_tpu.ops.expert_ffn)
   * expert parallelism: the same buffers exchanged with jax.lax.all_to_all
@@ -20,6 +26,8 @@ use a static capacity C = ceil(cf * T * K / E) per (source shard, expert);
 tokens beyond C for one expert are dropped (their combine weight contributes
 nothing).  With cf >= E/K * (max expert share) the result is bit-exact with
 the ragged reference; tests use a capacity large enough to guarantee no drop.
+Routing slots whose expert id is >= E (used by the token variant to mask
+non-compute tokens) are dropped before they occupy capacity.
 """
 
 from __future__ import annotations
@@ -63,10 +71,6 @@ def position_in_expert(flat_experts: jnp.ndarray, num_experts: int) -> jnp.ndarr
     """Rank of each routing slot within its expert, in slot order.
 
     flat_experts: [S] int32 in [0, E). Returns [S] int32 positions (0-based).
-
-    Sort-based ranking (stable argsort + cumulative group starts): ~40%
-    faster on TPU than the one-hot cumsum formulation, which materializes an
-    [S, E] intermediate (measured 0.62ms vs 1.06ms at S=32.8k, E=16 on v5e).
     """
     S = flat_experts.shape[0]
     order = jnp.argsort(flat_experts, stable=True)
@@ -77,22 +81,154 @@ def position_in_expert(flat_experts: jnp.ndarray, num_experts: int) -> jnp.ndarr
     return rank_sorted[inv].astype(jnp.int32)
 
 
-def _dispatch(
-    x_slots: jnp.ndarray,  # [S, d]
-    dst: jnp.ndarray,  # [S] bucket ids, OOB => dropped
-    num_buckets: int,
-) -> jnp.ndarray:
-    """Scatter slots into a dense [num_buckets, d] buffer (add == set: dst unique)."""
-    buf = jnp.zeros((num_buckets, x_slots.shape[-1]), x_slots.dtype)
-    return buf.at[dst].add(x_slots, mode="drop")
+class DispatchPlan(NamedTuple):
+    """Index vectors tying token slots to expert-buffer slots.
+
+    src_flat: [E*C] s32 — flat routing slot (t*K+k) feeding each expert slot;
+              S when the expert slot is empty (OOB sentinel).
+    w_slot:   [E*C] f32 — gate weight of the routing slot feeding each expert
+              slot (0 when empty); carried through the sort so the combine
+              backward never gathers scalars.
+    dst:      [S]  s32 — expert-buffer slot (e*C + rank) for each routing
+              slot; E*C when the slot was dropped (over capacity or masked).
+    """
+
+    src_flat: jnp.ndarray
+    w_slot: jnp.ndarray
+    dst: jnp.ndarray
 
 
-def _collect(
-    buf: jnp.ndarray,  # [num_buckets, d]
-    dst: jnp.ndarray,  # [S]
-) -> jnp.ndarray:
-    """Gather expert outputs back to slots; OOB dst reads 0."""
-    return jnp.take(buf, dst, axis=0, mode="fill", fill_value=0)
+def make_dispatch_plan(
+    flat_e: jnp.ndarray,
+    num_experts: int,
+    capacity: int,
+    scores_flat: Optional[jnp.ndarray] = None,
+) -> DispatchPlan:
+    """Build src/dst from the per-slot expert ids with ONE stable sort.
+
+    TPU cost model drives every choice here:
+      * group starts via vectorized searchsorted, not bincount (whose
+        scatter-add of 1s serializes: ~0.3 ms per [16]-output fusion)
+      * per-expert slot sources are CONTIGUOUS runs of the sorted order, so
+        they come from E dynamic slices (vmap) rather than a [E*C] scalar
+        gather (~0.44 ms each: TPU gathers of width-1 rows are element-serial)
+      * scalar payloads (gate scores) ride through lax.sort as extra operands
+        for the same reason.
+    Expert ids >= num_experts are treated as dropped.
+    """
+    S = flat_e.shape[0]
+    E, C = num_experts, capacity
+    flat_e = flat_e.astype(jnp.int32)
+    iota = jnp.arange(S, dtype=jnp.int32)
+
+    if scores_flat is None:
+        scores_flat = jnp.zeros((S,), jnp.float32)
+    sorted_e, order, sorted_w = jax.lax.sort(
+        (flat_e, iota, scores_flat.astype(jnp.float32)),
+        num_keys=1, is_stable=True,
+    )
+    # starts[e] = first sorted index with id >= e; starts[E] excludes masked
+    starts = jnp.searchsorted(
+        sorted_e, jnp.arange(E + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    counts = starts[1:] - starts[:-1]  # [E]
+
+    # expert slot (e, c) <- sorted position starts[e] + c: a contiguous run
+    order_pad = jnp.concatenate([order, jnp.full((C,), S, jnp.int32)])
+    w_pad = jnp.concatenate([sorted_w, jnp.zeros((C,), jnp.float32)])
+    src2d = jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(order_pad, s, C)
+    )(starts[:E])  # [E, C]
+    w2d = jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(w_pad, s, C)
+    )(starts[:E])
+    valid = jnp.arange(C, dtype=jnp.int32)[None, :] < jnp.minimum(counts, C)[:, None]
+    src_flat = jnp.where(valid, src2d, S).reshape(-1)
+    w_slot = jnp.where(valid, w2d, 0.0).reshape(-1)
+
+    # routing slot -> expert slot (inverse map; one small s32 scatter)
+    rank_sorted = iota - jnp.take(starts, jnp.minimum(sorted_e, E), axis=0)
+    keep = (rank_sorted < C) & (sorted_e < E)
+    dst_sorted = jnp.where(keep, sorted_e * C + rank_sorted, E * C)
+    dst = (
+        jnp.full((S,), E * C, jnp.int32).at[order].set(dst_sorted, mode="drop")
+    )
+    return DispatchPlan(src_flat=src_flat, w_slot=w_slot, dst=dst)
+
+
+# ---------------------------------------------------------------------------
+# dispatch / combine as gather pairs (custom VJP: backward is also a gather)
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def _dispatch_gather(x: jnp.ndarray, src_tok: jnp.ndarray, dst: jnp.ndarray):
+    """h[slot] = x[src_tok[slot]] (0 for empty slots). x: [T, d] -> [E*C, d].
+
+    Equivalent of fastmoe MOEScatter (custom_moe_layer.py:14); the VJP
+    gathers the slot cotangents back through dst, the transpose exchange of
+    MOEGather — no scatter touches the [*, d] data in either direction.
+    """
+    return jnp.take(x, src_tok, axis=0, mode="fill", fill_value=0)
+
+
+def _dispatch_gather_fwd(x, src_tok, dst):
+    return _dispatch_gather(x, src_tok, dst), (dst, jnp.zeros((x.shape[0], 0),
+                                                             x.dtype))
+
+
+def _dispatch_gather_bwd(res, g):
+    dst, x_proto = res
+    T = x_proto.shape[0]
+    K = dst.shape[0] // T
+    gk = jnp.take(g, dst.reshape(T, K), axis=0, mode="fill", fill_value=0)
+    return gk.sum(axis=1, dtype=jnp.float32).astype(x_proto.dtype), None, None
+
+
+_dispatch_gather.defvjp(_dispatch_gather_fwd, _dispatch_gather_bwd)
+
+
+@jax.custom_vjp
+def _combine_gather(
+    y: jnp.ndarray,  # [E*C, d] expert outputs
+    scores: jnp.ndarray,  # [T, K] gate probs (f32)
+    dst: jnp.ndarray,  # [S] expert slot per routing slot
+    src_tok: jnp.ndarray,  # [E*C] token id per expert slot (T when empty)
+    w_slot: jnp.ndarray,  # [E*C] gate weight per expert slot (0 when empty)
+):
+    """out[t] = sum_k scores[t,k] * y[dst[t,k]] (reference bmm combine,
+    custom_moe_layer.py:298-305); dropped slots contribute 0.  Accumulation
+    in scores.dtype (f32).  w_slot must equal scores.reshape(-1)[src] per
+    expert slot — precomputed by make_dispatch_plan so the backward is pure
+    row gathers."""
+    T, K = scores.shape
+    ys = jnp.take(y, dst, axis=0, mode="fill", fill_value=0).reshape(T, K, -1)
+    return (scores[..., None] * ys.astype(scores.dtype)).sum(axis=1)
+
+
+def _combine_gather_fwd(y, scores, dst, src_tok, w_slot):
+    return (_combine_gather(y, scores, dst, src_tok, w_slot),
+            (y, scores, dst, src_tok, w_slot))
+
+
+def _combine_gather_bwd(res, g):  # g: [T, d] f32
+    y, scores, dst, src_tok, w_slot = res
+    # all [*, d]-sized backward traffic runs at the expert-output dtype
+    # (bf16 in mixed precision) with f32 accumulation on the reduces —
+    # otherwise XLA materializes f32 [S, d] broadcast/gather buffers
+    gc = g.astype(y.dtype)
+    # grad_y[slot] = w_slot[slot] * g[src_tok[slot]] — a row gather, because
+    # src inverts dst (fastmoe's MOEGather backward re-scatters; the inverse
+    # index turns it into a stream read)
+    gtok = jnp.take(gc, src_tok, axis=0, mode="fill", fill_value=0)
+    grad_y = (w_slot.astype(y.dtype)[:, None] * gtok).astype(y.dtype)
+    T, K = scores.shape
+    ys = jnp.take(y, dst, axis=0, mode="fill", fill_value=0).reshape(T, K, -1)
+    grad_scores = (ys * gc[:, None, :]).sum(-1, dtype=jnp.float32)
+    return grad_y, grad_scores.astype(scores.dtype), None, None, None
+
+
+_combine_gather.defvjp(_combine_gather_fwd, _combine_gather_bwd)
 
 
 def expert_ffn_dense(
@@ -107,40 +243,35 @@ def expert_ffn_dense(
 
     Equivalent of the reference _Expert.forward (custom_moe_layer.py:36-44)
     on a dense [E, C, d] layout; maps onto the MXU as E batched matmuls.
+
+    In bf16 mode the hidden activation is stored bf16 (the MXU still
+    accumulates in f32; bias+GELU run on the VPU in bf16) — halving the
+    [E, C, d_hidden] HBM traffic.  The f32 path keeps exact f32 epilogues
+    for the bit-parity tests.
     """
     if activation is None:
         # torch nn.GELU default = exact erf gelu
         activation = functools.partial(jax.nn.gelu, approximate=False)
     cd = compute_dtype
     # full f32 compute means *really* f32: force the highest matmul precision
-    # (XLA's default algorithm for batched f32 dots is reduced-precision)
+    # (XLA's default batched f32 dot is reduced-precision).  In bf16 mode the
+    # GEMMs still write f32 (native MXU output path — bf16-out batched GEMMs
+    # measured 4x slower in-graph) but the bias+GELU epilogue converts to
+    # bf16 so the [E, C, *] buffers that live in HBM are half-width.
     prec = "highest" if cd == jnp.float32 else None
     a = jnp.einsum(
         "ecd,edh->ech", h.astype(cd), params.w1.astype(cd),
         preferred_element_type=jnp.float32, precision=prec,
     )
-    a = a + params.b1[:, None, :].astype(jnp.float32)
-    a = activation(a)
+    a = activation(a + params.b1[:, None, :].astype(jnp.float32)).astype(cd)
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, a.shape)
-        a = jnp.where(keep, a / (1.0 - dropout_rate), 0.0)
+        a = jnp.where(keep, a / (1.0 - dropout_rate), jnp.zeros((), cd))
     o = jnp.einsum(
-        "ech,ehd->ecd", a.astype(cd), params.w2.astype(cd),
+        "ech,ehd->ecd", a, params.w2.astype(cd),
         preferred_element_type=jnp.float32, precision=prec,
     )
-    o = o + params.b2[:, None, :].astype(jnp.float32)
-    return o
-
-
-def _combine(
-    y_slots: jnp.ndarray,  # [S, d] expert outputs per slot
-    scores: jnp.ndarray,  # [T, K] gate probs
-) -> jnp.ndarray:
-    """Weighted combine: out[t] = sum_k score[t,k] * y[t,k]
-    (reference bmm combine, custom_moe_layer.py:298-305)."""
-    T, K = scores.shape
-    y = y_slots.reshape(T, K, -1)
-    return jnp.einsum("tk,tkd->td", scores.astype(jnp.float32), y.astype(jnp.float32))
+    return (o + params.b2[:, None, :].astype(jnp.float32)).astype(cd)
 
 
 def moe_ffn_local(
@@ -156,20 +287,17 @@ def moe_ffn_local(
     dropout_rng: Optional[jax.Array] = None,
     ffn_fn: Optional[Callable] = None,
 ) -> jnp.ndarray:
-    """Single-shard MoE FFN: dispatch -> per-expert GEMMs -> weighted combine."""
+    """Single-shard MoE FFN: gather-dispatch -> per-expert GEMMs -> combine."""
     T, d = x.shape
     K = top_k_indices.shape[-1]
     E = params.w1.shape[0]
-    S = T * K
 
-    flat_e = top_k_indices.reshape(S)
-    pos = position_in_expert(flat_e, E)
-    valid = pos < capacity
-    dst = jnp.where(valid, flat_e * capacity + pos, E * capacity)  # OOB => drop
-
-    x_slots = jnp.broadcast_to(x[:, None, :], (T, K, d)).reshape(S, d)
-    buf = _dispatch(x_slots, dst, E * capacity)
-    h = buf.reshape(E, capacity, d)
+    scores = top_k_gates.astype(jnp.float32)
+    plan = make_dispatch_plan(top_k_indices.reshape(-1), E, capacity,
+                              scores_flat=scores.reshape(-1))
+    # token id per expert slot; empty slots (src_flat == S == T*K) map to T
+    src_tok = plan.src_flat // K
+    h = _dispatch_gather(x, src_tok, plan.dst).reshape(E, capacity, d)
     run_ffn = ffn_fn if ffn_fn is not None else expert_ffn_dense
     y = run_ffn(
         h,
@@ -179,8 +307,9 @@ def moe_ffn_local(
         dropout_rate=dropout_rate,
         dropout_rng=dropout_rng,
     )
-    y_slots = _collect(y.reshape(E * capacity, d), dst)
-    return _combine(y_slots, top_k_gates).astype(x.dtype)
+    out = _combine_gather(y.reshape(E * capacity, d), scores, plan.dst,
+                          src_tok, plan.w_slot)
+    return out.astype(x.dtype)
 
 
 def moe_ffn_expert_parallel(
@@ -208,15 +337,12 @@ def moe_ffn_expert_parallel(
     E = num_experts_global
     assert E % ep == 0, "global expert count must divide the expert axis"
     E_local = E // ep
-    S = T * K
 
-    flat_e = top_k_indices.reshape(S)
-    pos = position_in_expert(flat_e, E)
-    valid = pos < capacity
-    dst = jnp.where(valid, flat_e * capacity + pos, E * capacity)
-
-    x_slots = jnp.broadcast_to(x[:, None, :], (T, K, d)).reshape(S, d)
-    send = _dispatch(x_slots, dst, E * capacity)  # [E*C, d] grouped by global id
+    scores = top_k_gates.astype(jnp.float32)
+    plan = make_dispatch_plan(top_k_indices.reshape(-1), E, capacity,
+                              scores_flat=scores.reshape(-1))
+    src_tok = plan.src_flat // K
+    send = _dispatch_gather(x, src_tok, plan.dst)  # [E*C, d] by global id
 
     # exchange: rows for experts owned by device j go to device j
     send = send.reshape(ep, E_local * capacity, d)
@@ -242,8 +368,9 @@ def moe_ffn_expert_parallel(
         .reshape(ep, E_local * capacity, d)
     )
     back = jax.lax.all_to_all(y, expert_axis, split_axis=0, concat_axis=0)
-    y_slots = _collect(back.reshape(E * capacity, d), dst)
-    return _combine(y_slots, top_k_gates).astype(x.dtype)
+    out = _combine_gather(back.reshape(E * capacity, d), scores, plan.dst,
+                          src_tok, plan.w_slot)
+    return out.astype(x.dtype)
 
 
 def moe_ffn(
