@@ -149,7 +149,8 @@ def main():
     report(args.out, args.top, n_steps=args.steps)
 
 
-def report(profile_dir: str, top: int, n_steps: int | None = None):
+def report(profile_dir: str, top: int, n_steps: int | None = None,
+           by_cat: bool = False):
     path, per_op, per_cat, n_events, total_ps = parse_xplane(profile_dir, top)
     print(f"# parsed {path}")
     print(f"# total device op time: {total_ps/1e9:.2f} ms"
@@ -158,6 +159,18 @@ def report(profile_dir: str, top: int, n_steps: int | None = None):
     print("\n## by category (ms)")
     for cat, ps in per_cat.most_common():
         print(f"  {cat:12s} {ps/1e9:9.2f}")
+    if by_cat:
+        for cat, _ in per_cat.most_common():
+            print(f"\n## top ops in '{cat}' (ms, count)")
+            shown = 0
+            for name, ps in per_op.most_common():
+                if categorize(name) != cat:
+                    continue
+                print(f"  {ps/1e9:9.2f}  x{n_events[name]:<5d} {name[:160]}")
+                shown += 1
+                if shown >= 15:
+                    break
+        return
     print(f"\n## top {top} ops (ms, count)")
     for name, ps in per_op.most_common(top):
         print(f"  {ps/1e9:9.2f}  x{n_events[name]:<5d} {name[:140]}")

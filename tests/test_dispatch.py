@@ -163,3 +163,41 @@ def test_expert_parallel_grads(mesh8):
 def test_compute_capacity_static():
     assert compute_capacity(1024, 4, 16, 2.0) >= 512
     assert compute_capacity(1024, 4, 16, 2.0) % 8 == 0
+
+
+def test_dispatch_plan_invariants():
+    """src/dst are inverse permutations (modulo drops); w_slot carries gate
+    scores; expert ids >= E (token-variant mask sentinel) never occupy
+    capacity."""
+    from m3vit_tpu.moe.dispatch import make_dispatch_plan
+
+    rng = np.random.RandomState(3)
+    S, E, C = 64, 4, 12
+    flat_e = rng.randint(0, E + 1, S).astype(np.int32)  # E == masked sentinel
+    scores = rng.rand(S).astype(np.float32)
+    plan = make_dispatch_plan(
+        jnp.asarray(flat_e), E, C, scores_flat=jnp.asarray(scores)
+    )
+    src, w, dst = (np.asarray(plan.src_flat), np.asarray(plan.w_slot),
+                   np.asarray(plan.dst))
+
+    for s in range(S):
+        if flat_e[s] >= E:
+            assert dst[s] == E * C  # masked -> dropped
+            continue
+        if dst[s] < E * C:
+            assert dst[s] // C == flat_e[s]  # right expert bucket
+            assert src[dst[s]] == s  # inverse mapping
+            assert w[dst[s]] == scores[s]  # score rode the sort
+    # every filled expert slot points back at a slot routed to that expert
+    for j in range(E * C):
+        if src[j] < S:
+            assert flat_e[src[j]] == j // C
+            assert dst[src[j]] == j
+        else:
+            assert w[j] == 0.0
+    # per-expert occupancy == min(count, C), packed from slot 0
+    for e in range(E):
+        filled = sum(src[e * C:(e + 1) * C] < S)
+        assert filled == min((flat_e == e).sum(), C)
+        assert all(src[e * C + i] < S for i in range(filled))
