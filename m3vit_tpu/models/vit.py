@@ -64,8 +64,13 @@ class Attention(nn.Module):
             C * 3, use_bias=self.qkv_bias, dtype=self.dtype,
             kernel_init=trunc_normal_init, name="qkv",
         )(x)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, hd]
+        # split as contiguous last-dim slices (identical layout to the torch
+        # [q;k;v] fused weight, reference :293-296); the [B,N,3,H,hd]
+        # reshape-and-index form made XLA materialize three strided
+        # [B,N,1,H,hd] copies per attention in the full train graph
+        q = qkv[..., :C].reshape(B, N, self.num_heads, head_dim)
+        k = qkv[..., C:2 * C].reshape(B, N, self.num_heads, head_dim)
+        v = qkv[..., 2 * C:].reshape(B, N, self.num_heads, head_dim)
 
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)

@@ -146,13 +146,14 @@ def make_dispatch_plan(
     src_flat = jnp.where(valid, src2d, S).reshape(-1)
     w_slot = jnp.where(valid, w2d, 0.0).reshape(-1)
 
-    # routing slot -> expert slot (inverse map; one small s32 scatter)
+    # routing slot -> expert slot (inverse map).  `order` is a permutation,
+    # so un-sorting is another sort with dst_sorted as payload — TPU scalar
+    # scatters serialize element-by-element (~0.28 ms at S=32.8k) while the
+    # bitonic sort runs ~4x faster.
     rank_sorted = iota - jnp.take(starts, jnp.minimum(sorted_e, E), axis=0)
     keep = (rank_sorted < C) & (sorted_e < E)
     dst_sorted = jnp.where(keep, sorted_e * C + rank_sorted, E * C)
-    dst = (
-        jnp.full((S,), E * C, jnp.int32).at[order].set(dst_sorted, mode="drop")
-    )
+    _, dst = jax.lax.sort((order, dst_sorted), num_keys=1, is_stable=True)
     return DispatchPlan(src_flat=src_flat, w_slot=w_slot, dst=dst)
 
 

@@ -37,7 +37,7 @@ def naive_attn(q, k, v):
     return jnp.einsum("bhnm,bmhd->bnhd", attn, v)
 
 
-def flash_attn(q, k, v):
+def flash_attn(q, k, v, bq=128, bk=128):
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         flash_attention, BlockSizes, SegmentIds)
 
@@ -52,13 +52,66 @@ def flash_attn(q, k, v):
     seg = jnp.concatenate([jnp.ones((B, N), jnp.int32),
                            jnp.full((B, pad), 2, jnp.int32)], axis=1)
     bs = BlockSizes(
-        block_q=128, block_k_major=128, block_k=128, block_b=1,
-        block_q_major_dkv=128, block_k_major_dkv=128, block_k_dkv=128,
-        block_q_dkv=128, block_k_major_dq=128, block_k_dq=128, block_q_dq=128,
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+        block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
     )
     o = flash_attention(qp, kp, vp, segment_ids=SegmentIds(seg, seg),
                         sm_scale=SCALE, block_sizes=bs)
     return jnp.swapaxes(o[:, :, :N, :], 1, 2)  # back to [B, N, H, D]
+
+
+def attn_block_midsplit(x, wqkv, wproj):
+    # the model's current formulation: reshape to [B,N,3,H,D], index dim 2
+    B_, N_, C = x.shape
+    qkv = (x @ wqkv).reshape(B_, N_, 3, H, D)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    o = naive_attn(q, k, v).reshape(B_, N_, C)
+    return o @ wproj
+
+
+def attn_block_lastsplit(x, wqkv, wproj):
+    # identical math: contiguous last-dim slices instead of mid-dim indexing
+    B_, N_, C = x.shape
+    qkv = x @ wqkv
+    q = qkv[..., :C].reshape(B_, N_, H, D)
+    k = qkv[..., C:2 * C].reshape(B_, N_, H, D)
+    v = qkv[..., 2 * C:].reshape(B_, N_, H, D)
+    o = naive_attn(q, k, v).reshape(B_, N_, C)
+    return o @ wproj
+
+
+def bench_block(fn, iters, label):
+    C = H * D
+    key = jax.random.key(0)
+    ks = jax.random.split(key, 3)
+    x = jax.random.normal(ks[0], (B, N, C), jnp.float32).astype(jnp.bfloat16)
+    wqkv = (jax.random.normal(ks[1], (C, 3 * C), jnp.float32) * 0.05).astype(
+        jnp.bfloat16)
+    wproj = (jax.random.normal(ks[2], (C, C), jnp.float32) * 0.05).astype(
+        jnp.bfloat16)
+
+    @jax.jit
+    def run(x, wqkv, wproj):
+        def body(_, carry):
+            x, wqkv, wproj = carry
+
+            def loss(x, wqkv, wproj):
+                return (fn(x, wqkv, wproj).astype(jnp.float32) ** 2).mean()
+
+            l, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(x, wqkv, wproj)
+            return tuple(a - (1e-6 * gg).astype(a.dtype)
+                         for a, gg in zip(carry, g))
+
+        return lax.fori_loop(0, iters, body, (x, wqkv, wproj))
+
+    out = run(x, wqkv, wproj)
+    float(out[0].astype(jnp.float32).sum())
+    t0 = time.perf_counter()
+    out = run(x, wqkv, wproj)
+    float(out[0].astype(jnp.float32).sum())
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({"variant": label, "ms_per_iter": round(dt * 1e3, 3)}))
 
 
 def bench(fn, iters, label):
@@ -113,8 +166,8 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     args = ap.parse_args()
     check()
-    bench(naive_attn, args.iters, "naive")
-    bench(flash_attn, args.iters, "flash")
+    bench_block(attn_block_midsplit, args.iters, "block_midsplit")
+    bench_block(attn_block_lastsplit, args.iters, "block_lastsplit")
 
 
 if __name__ == "__main__":

@@ -113,7 +113,7 @@ def main():
 
     model, tasks = build_flagship(
         dtype=jnp.bfloat16, use_checkpointing=args.remat,
-        capacity_factor=2.0, stacked_tasks=args.stacked,
+        stacked_tasks=args.stacked,
     )
     batch = synthetic_batch(jax.random.key(0), tasks, args.batch, (512, 512))
     p = {"optimizer": "sgd",
@@ -160,6 +160,18 @@ def report(profile_dir: str, top: int, n_steps: int | None = None,
     for cat, ps in per_cat.most_common():
         print(f"  {cat:12s} {ps/1e9:9.2f}")
     if by_cat:
+        # aggregate by output-shape signature: where does the long tail go?
+        shape_re = re.compile(r"=\s*\(?([a-z0-9]+\[[0-9,]*\])")
+        by_shape = collections.Counter()
+        by_shape_n = collections.Counter()
+        for name, ps in per_op.items():
+            m = shape_re.search(name)
+            sig = m.group(1) if m else "?"
+            by_shape[sig] += ps
+            by_shape_n[sig] += n_events[name]
+        print("\n## by output shape (ms, events)")
+        for sig, ps in by_shape.most_common(40):
+            print(f"  {ps/1e9:9.2f}  x{by_shape_n[sig]:<6d} {sig}")
         for cat, _ in per_cat.most_common():
             print(f"\n## top ops in '{cat}' (ms, count)")
             shown = 0

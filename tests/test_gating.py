@@ -176,3 +176,26 @@ def test_backbone_with_noisy_gate_type():
         rngs={"gate_noise": jax.random.key(2)},
     )
     assert np.isfinite(np.asarray(out)).all() and float(cv) > 0
+
+
+def test_small_topk_matches_lax_top_k():
+    """small_topk (rank/one-hot selection, scatter-free VJP) must bit-match
+    jax.lax.top_k on values, indices (tie-break toward lower index), and the
+    gradient of the selected values."""
+    from m3vit_tpu.moe.gating import small_topk
+
+    rng = np.random.RandomState(0)
+    for trial in range(10):
+        T, E = rng.randint(1, 40), rng.randint(2, 33)
+        m = rng.randint(1, E + 1)
+        x = rng.rand(T, E).astype(np.float32)
+        if trial % 2 == 0:
+            x = (x * 4).round() / 4  # force ties
+        v0, i0 = jax.lax.top_k(jnp.asarray(x), m)
+        v1, i1 = small_topk(jnp.asarray(x), m)
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    x = jnp.asarray(rng.rand(7, 16).astype(np.float32))
+    g0 = jax.grad(lambda x: (jax.lax.top_k(x, 5)[0] ** 2).sum())(x)
+    g1 = jax.grad(lambda x: (small_topk(x, 5)[0] ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-6)
