@@ -49,7 +49,7 @@ def parse_args(argv=None):
     # MoE flags (reference train_fastmoe.py:76-182)
     ap.add_argument("--moe_experts", type=int, default=None)
     ap.add_argument("--moe_top_k", type=int, default=None)
-    ap.add_argument("--multi_gate", action="store_true")
+    ap.add_argument("--multi_gate", action="store_true", default=None)
     ap.add_argument("--stacked_tasks", action="store_true",
                     help="fuse the per-task multi-gate backbone passes into "
                          "one [T*B] pass (TPU-first; same params/metrics)")
@@ -126,8 +126,8 @@ def parse_args(argv=None):
     ap.add_argument("--moe_noisy_gate_loss_weight", type=float, default=0.01)
     ap.add_argument("--gate_task_specific_dim", type=int, default=None)
     ap.add_argument("--moe_capacity_factor", type=float, default=None)
-    ap.add_argument("--use_cv_loss", action="store_true")
-    ap.add_argument("--use_checkpointing", action="store_true")
+    ap.add_argument("--use_cv_loss", action="store_true", default=None)
+    ap.add_argument("--use_checkpointing", action="store_true", default=None)
     ap.add_argument("--compute_dtype", default=None,
                     choices=[None, "bfloat16", "float32"])
     # mesh
@@ -251,20 +251,23 @@ def run(args) -> Dict:
         if (args.gate_task_specific_dim or 0) <= 0:
             print("WARNING: --task_one_hot without --gate_task_specific_dim "
                   "> 0 leaves the gate unconditioned")
-    overrides["multi_gate"] = args.multi_gate
+    # three-state flags: the YAML value wins unless the flag is given
+    # (these were store_true stomps before — a config with multi_gate: True
+    # run without --multi_gate silently trained the shared-gate path)
+    for k in ("multi_gate", "use_cv_loss", "use_checkpointing"):
+        if getattr(args, k) is not None:
+            overrides[k] = getattr(args, k)
     if args.stacked_tasks:
-        if not args.multi_gate:
-            print("WARNING: --stacked_tasks has no effect without "
-                  "--multi_gate; running the shared-gate path")
         overrides["stacked_tasks"] = True
     if args.remat_heads:
         overrides["remat_heads"] = True
-    overrides["use_cv_loss"] = args.use_cv_loss
-    overrides["use_checkpointing"] = args.use_checkpointing
     if args.overfit:
         overrides["overfit"] = True
     p = create_config(args.config_env, args.config_exp, overrides,
                       make_dirs=True)
+    if p.get("stacked_tasks") and not p.get("multi_gate"):
+        print("WARNING: stacked_tasks has no effect without multi_gate; "
+              "running the shared-gate path")
     if args.lr is not None:
         p["optimizer_kwargs"]["lr"] = args.lr
     if args.weight_decay is not None:

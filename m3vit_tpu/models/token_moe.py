@@ -314,8 +314,9 @@ class TokenBlock(nn.Module):
                 fill = task_in_reuse & tsm & ~cache_valid  # reference :746
                 cache = jnp.where(fill[:, None], dflat, cache)
                 cache_valid = cache_valid | fill
-            used = dflat.reshape(B, N, C).astype(delta.dtype)
-            outs = outs.at[t].add(used * ts_mask[t][..., None].astype(delta.dtype))
+            used = dflat.reshape(B, N, C)
+            outs = outs.at[t].add(
+                (used * ts_mask[t][..., None]).astype(outs.dtype))
             computed_tokens = computed_tokens + compute.sum()
             reused_tokens = reused_tokens + can_reuse.sum()
 
