@@ -289,6 +289,7 @@ class TokenBlock(nn.Module):
             gate = noisy_vmoe_gate(
                 gate_inp, w_gate, top_k=self.moe_top_k,
                 noise_std=self.vmoe_noisy_std, train=train, rng=r,
+                build_dense_gates=False,
             )
             tsm = ts_mask[t].reshape(-1)  # [B*N]
             if reuse_flat is not None:
@@ -321,9 +322,13 @@ class TokenBlock(nn.Module):
             reused_tokens = reused_tokens + can_reuse.sum()
 
             # cv loss over computed tokens only (reference :795-801):
-            # row-mask both the importance (via gates) and the smooth load
+            # row-mask both the importance and the smooth load.  Masking the
+            # top-k fields is identical to masking the dense [T, E] gates
+            # (importance == one-hot accumulation of the top-k probs) and
+            # skips the dense-gates scalar scatter entirely.
             cmf = compute.astype(jnp.float32)
-            masked_gate = gate._replace(gates=gate.gates * cmf[:, None])
+            masked_gate = gate._replace(
+                top_k_gates=gate.top_k_gates * cmf[:, None])
             cv_total = cv_total + moe_aux_loss(
                 masked_gate, self.moe_top_k, E, train,
                 row_mask=cmf,
@@ -342,8 +347,20 @@ class TokenBlock(nn.Module):
         sh_w2 = self.param("shared_ffn_fc2", trunc_normal_init,
                            (sh_hidden, C))
         sh_b2 = self.param("shared_ffn_b2", nn.initializers.zeros, (C,))
-        a = gelu_exact(norm2(shared_x).astype(jnp.float32) @ sh_w1 + sh_b1)
-        sh = shared_x + (a @ sh_w2 + sh_b2)
+        # GEMMs in the model compute dtype (bf16 on TPU; f32 accumulation on
+        # the MXU via preferred_element_type), gelu epilogue in f32 — the
+        # previous all-f32 formulation materialized a f32 [T*B, N, 4C]
+        # hidden (252 MB at the flagship token shapes) and ran f32 matmuls
+        cd = self.dtype
+        prec = "highest" if cd == jnp.float32 else None
+        a_pre = jnp.einsum(
+            "bnc,ch->bnh", norm2(shared_x).astype(cd), sh_w1.astype(cd),
+            preferred_element_type=jnp.float32, precision=prec) + sh_b1
+        a = gelu_exact(a_pre).astype(cd)
+        sh = shared_x + (jnp.einsum(
+            "bnh,hc->bnc", a, sh_w2.astype(cd),
+            preferred_element_type=jnp.float32, precision=prec)
+            + sh_b2).astype(shared_x.dtype)
         outs = apply_shared_broadcast(outs, share_mask, sh)
 
         return outs, share_mask, valid, {"cv_loss": cv_total, "stats": stats}
