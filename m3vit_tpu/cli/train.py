@@ -189,13 +189,17 @@ def parse_args(argv=None):
 
 
 class SyntheticLoader:
-    """Fixed set of synthetic batches (smoke mode)."""
+    """Fixed set of synthetic batches (smoke mode).
+
+    Batches stay device-resident: materializing them to numpy made every
+    training step re-upload ~160 MB of one-hot labels host->device (the
+    real-data path streams from disk, but synthetic smoke/perf runs should
+    measure the step, not the transfer)."""
 
     def __init__(self, tasks, n_batches: int, batch_size: int, img_size):
         self.batches = [
-            {k: np.asarray(v) for k, v in
-             synthetic_batch(jax.random.key(i), tasks, batch_size,
-                             img_size).items()}
+            dict(synthetic_batch(jax.random.key(i), tasks, batch_size,
+                                 img_size))
             for i in range(n_batches)
         ]
         for i, b in enumerate(self.batches):
