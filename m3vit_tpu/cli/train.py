@@ -127,6 +127,8 @@ def parse_args(argv=None):
     ap.add_argument("--gate_task_specific_dim", type=int, default=None)
     ap.add_argument("--moe_capacity_factor", type=float, default=None)
     ap.add_argument("--use_cv_loss", action="store_true", default=None)
+    ap.add_argument("--no_pallas_ffn", action="store_true",
+                    help="disable the fused Pallas expert-FFN kernel")
     ap.add_argument("--use_checkpointing", action="store_true", default=None)
     ap.add_argument("--compute_dtype", default=None,
                     choices=[None, "bfloat16", "float32"])
@@ -261,6 +263,8 @@ def run(args) -> Dict:
     for k in ("multi_gate", "use_cv_loss", "use_checkpointing"):
         if getattr(args, k) is not None:
             overrides[k] = getattr(args, k)
+    if args.no_pallas_ffn:
+        overrides["use_pallas_ffn"] = False
     if args.stacked_tasks:
         overrides["stacked_tasks"] = True
     if args.remat_heads:

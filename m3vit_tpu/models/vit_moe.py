@@ -196,6 +196,7 @@ class MoEMlp(nn.Module):
     subimage_tokens: int = 5
     patch_grid: Tuple[int, int] = (0, 0)  # true (h, w) grid for regu_subimage
     gate_type: str = "noisy_vmoe"  # 'noisy_vmoe' | 'noisy' (gates.py:195-280)
+    use_pallas_ffn: bool = False  # fused expert-FFN kernel (ops/expert_ffn.py)
 
     @nn.compact
     def __call__(
@@ -364,6 +365,13 @@ class MoEMlp(nn.Module):
             drop_rng = self.make_rng("dropout")
         cf = self.capacity_factor if train else self.eval_capacity_factor
 
+        ffn_fn = None
+        if self.use_pallas_ffn and not (self.drop > 0 and train):
+            from m3vit_tpu.ops.expert_ffn import (
+                make_pallas_ffn_fn, pallas_expert_ffn_available)
+            if pallas_expert_ffn_available():
+                ffn_fn = make_pallas_ffn_fn()
+
         out = moe_ffn(
             x,
             top_idx,
@@ -375,6 +383,7 @@ class MoEMlp(nn.Module):
             compute_dtype=self.dtype,
             dropout_rate=self.drop,
             dropout_rng=drop_rng,
+            ffn_fn=ffn_fn,
         )
 
         # auxiliary gate-logit regularizers (reference noisy_gate_vmoe.py
@@ -435,6 +444,7 @@ class MoEBlock(nn.Module):
     regu_subimage: bool = False
     patch_grid: Tuple[int, int] = (0, 0)
     gate_type: str = "noisy_vmoe"
+    use_pallas_ffn: bool = False
     # stacked multi-gate: task_id is a per-SAMPLE [B] vector (task-major
     # equal groups of cv_segments tasks); cv loss is computed per segment and
     # summed, matching the reference's one-backbone-pass-per-task loop
@@ -489,6 +499,7 @@ class MoEBlock(nn.Module):
             regu_subimage=self.regu_subimage,
             patch_grid=self.patch_grid,
             gate_type=self.gate_type,
+            use_pallas_ffn=self.use_pallas_ffn,
             name="mlp",
         )(h.astype(self.dtype), task_id, task_feature, train,
           expert_mask, sem_force_idx, sem_force_mask, gate_inp_tokens,
@@ -574,6 +585,7 @@ class VisionTransformerMoE(nn.Module):
     regu_sem: bool = False
     regu_subimage: bool = False
     moe_gate_type: str = "noisy_vmoe"
+    use_pallas_ffn: bool = False
     # route with each MoE block's INPUT tokens instead of the post-norm2
     # stream (reference origin/vision_transformer_moe.py:276-277)
     gate_input_ahead: bool = False
@@ -719,6 +731,7 @@ class VisionTransformerMoE(nn.Module):
                     patch_grid=(self.img_size[0] // self.patch_size,
                                 self.img_size[1] // self.patch_size),
                     gate_type=self.moe_gate_type,
+                    use_pallas_ffn=self.use_pallas_ffn,
                     cv_segments=n_stack,
                     name=f"block_{i}",
                 )(tokens, task_id, task_feature, train, expert_mask,

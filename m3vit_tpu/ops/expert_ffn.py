@@ -37,6 +37,22 @@ def _pick_block(c: int, preferred: int = 512) -> int:
     return c
 
 
+def _pad_tokens(x: jnp.ndarray, mult: int = 256):
+    """Pad the token axis of [E, C, ...] to a multiple of `mult`.
+
+    Capacity is only 8-aligned (e.g. C=2568 at cf=1.25), whose largest
+    aligned divisor is 8 — a 5000-step grid of [8, d] GEMMs.  Zero-padding
+    ~10% of rows buys [256, d] blocks; padded rows produce zero gradients
+    and are sliced off."""
+    C = x.shape[1]
+    pad = (-C) % mult
+    if pad == 0:
+        return x, C
+    widths = [(0, 0)] * x.ndim
+    widths[1] = (0, pad)
+    return jnp.pad(x, widths), C
+
+
 def _erf_approx(x: jnp.ndarray) -> jnp.ndarray:
     """Abramowitz-Stegun 7.1.26 rational erf (|err| < 1.5e-7); Pallas TPU has
     no erf lowering."""
@@ -62,6 +78,7 @@ def _ffn_kernel(h_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
 
 
 def _ffn_forward(h, w1, b1, w2, b2, *, interpret=False):
+    h, C_orig = _pad_tokens(h)
     E, C, d = h.shape
     H = w1.shape[-1]
     bc = _pick_block(C)
@@ -70,7 +87,7 @@ def _ffn_forward(h, w1, b1, w2, b2, *, interpret=False):
     # match the array when not multiples of (8, 128)
     b1 = b1.reshape(E, 1, H)
     b2 = b2.reshape(E, 1, d)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _ffn_kernel,
         grid=grid,
         in_specs=[
@@ -95,6 +112,7 @@ def _ffn_forward(h, w1, b1, w2, b2, *, interpret=False):
         ),
         interpret=interpret,
     )(h, w1, b1, w2, b2)
+    return out[:, :C_orig]
 
 
 def _gelu_and_grad(a_pre: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -102,6 +120,111 @@ def _gelu_and_grad(a_pre: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     cdf = 0.5 * (1.0 + jax.lax.erf(a_pre / _SQRT2))
     pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * a_pre * a_pre)
     return a_pre * cdf, cdf + a_pre * pdf
+
+
+def _ffn_bwd_kernel(h_ref, w1_ref, b1_ref, w2_ref, g_ref,
+                    dh_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+    """One fused backward step: recompute a_pre/a on the MXU (remat), emit
+    dh for this token block, accumulate dw1/db1/dw2/db2 in VMEM across the
+    C-grid (their block index is constant in c, so the output block stays
+    resident; @pl.when(c == 0) initializes it)."""
+    c = pl.program_id(1)
+    h = h_ref[0]           # [BC, d] bf16
+    g = g_ref[0]           # [BC, d]
+    w1 = w1_ref[0]         # [d, H]
+    w2 = w2_ref[0]         # [H, d]
+    cd = h.dtype
+
+    a_pre = jnp.dot(h, w1, preferred_element_type=jnp.float32) \
+        + b1_ref[0].astype(jnp.float32)
+    cdf = 0.5 * (1.0 + _erf_approx(a_pre / _SQRT2))
+    pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * a_pre * a_pre)
+    a = (a_pre * cdf).astype(cd)
+    dgelu = cdf + a_pre * pdf
+
+    # every contraction via dot_general dimension numbers — materializing
+    # .T inside the kernel is a VPU shuffle and dominated the kernel time
+    def dotT_rhs(x, w):  # x [BC, k] · w [m, k] -> [BC, m]
+        return jax.lax.dot_general(
+            x, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def dotT_lhs(x, y):  # x [BC, m] · y [BC, n] -> [m, n]
+        return jax.lax.dot_general(
+            x, y, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    gc = g.astype(cd)
+    da_f = dotT_rhs(gc, w2) * dgelu
+    da = da_f.astype(cd)
+
+    dh_ref[0] = dotT_rhs(da, w1).astype(dh_ref.dtype)
+
+    @pl.when(c == 0)
+    def _init():
+        dw1_ref[0] = jnp.zeros_like(dw1_ref[0])
+        db1_ref[0] = jnp.zeros_like(db1_ref[0])
+        dw2_ref[0] = jnp.zeros_like(dw2_ref[0])
+        db2_ref[0] = jnp.zeros_like(db2_ref[0])
+
+    dw1_ref[0] += dotT_lhs(h, da)
+    db1_ref[0] += jnp.sum(da_f, axis=0, keepdims=True)
+    dw2_ref[0] += dotT_lhs(a, gc)
+    db2_ref[0] += jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+
+
+def _ffn_backward(h, w1, b1, w2, g, *, interpret=False):
+    h, C_orig = _pad_tokens(h)
+    g, _ = _pad_tokens(g)
+    E, C, d = h.shape
+    H = w1.shape[-1]
+    bc = _pick_block(C)
+    grid = (E, C // bc)
+    b1r = b1.reshape(E, 1, H)
+    dh, dw1, db1, dw2, db2 = pl.pallas_call(
+        _ffn_bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bc, d), lambda e, c: (e, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, H), lambda e, c: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda e, c: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, d), lambda e, c: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc, d), lambda e, c: (e, c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bc, d), lambda e, c: (e, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, H), lambda e, c: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda e, c: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, d), lambda e, c: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda e, c: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((E, C, d), h.dtype),
+            jax.ShapeDtypeStruct((E, d, H), jnp.float32),
+            jax.ShapeDtypeStruct((E, 1, H), jnp.float32),
+            jax.ShapeDtypeStruct((E, H, d), jnp.float32),
+            jax.ShapeDtypeStruct((E, 1, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * E * C * d * H,
+            bytes_accessed=3 * E * C * d * h.dtype.itemsize
+            + E * d * H * 4 * 2,
+            transcendentals=E * C * H,
+        ),
+        interpret=interpret,
+    )(h, w1, b1r, w2, g)
+    return (dh[:, :C_orig], dw1, db1.reshape(E, H), dw2,
+            db2.reshape(E, d))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -116,24 +239,13 @@ def _fwd(h, w1, b1, w2, b2, interpret):
 
 
 def _bwd(interpret, res, g):
+    """Fused Pallas backward: one kernel recomputes a_pre/a in VMEM (remat)
+    and emits dh plus all weight/bias grads — no [E, C, H] intermediate ever
+    touches HBM (the einsum formulation materialized a_pre, dgelu, and da
+    in f32 there)."""
     h, w1, b1, w2, b2 = res
-    cd = w1.dtype
-    g = g.astype(jnp.float32)
-    # recompute hidden pre-activation (remat)
-    a_pre = jnp.einsum("ecd,edh->ech", h.astype(cd), w1,
-                       preferred_element_type=jnp.float32) \
-        + b1.astype(jnp.float32)[:, None, :]
-    a, dgelu = _gelu_and_grad(a_pre)
-    dw2 = jnp.einsum("ech,ecd->ehd", a.astype(cd), g.astype(cd),
-                     preferred_element_type=jnp.float32)
-    db2 = g.sum(axis=1)
-    da = jnp.einsum("ecd,ehd->ech", g.astype(cd), w2,
-                    preferred_element_type=jnp.float32) * dgelu
-    dw1 = jnp.einsum("ecd,ech->edh", h.astype(cd), da.astype(cd),
-                     preferred_element_type=jnp.float32)
-    db1 = da.sum(axis=1)
-    dh = jnp.einsum("ech,edh->ecd", da.astype(cd), w1,
-                    preferred_element_type=jnp.float32)
+    dh, dw1, db1, dw2, db2 = _ffn_backward(
+        h, w1, b1, w2, g.astype(h.dtype), interpret=interpret)
     return (dh.astype(h.dtype), dw1.astype(w1.dtype), db1.astype(b1.dtype),
             dw2.astype(w2.dtype), db2.astype(b2.dtype))
 
@@ -153,6 +265,6 @@ def make_pallas_ffn_fn(interpret: bool = False):
         return fused_expert_ffn(
             h.astype(cd), params.w1.astype(cd), params.b1, params.w2.astype(cd),
             params.b2, interpret,
-        ).astype(jnp.float32)
+        )
 
     return ffn
