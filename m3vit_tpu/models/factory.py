@@ -269,6 +269,7 @@ def build_model(p, mesh=None, expert_axis: Optional[str] = "expert"):
             bootstrap_first_moe=bool(p.get("bootstrap_first_moe", True)),
             share_reg_lambda=float(p.get("share_reg_lambda", 0.01)),
             capacity_factor=float(p.get("moe_capacity_factor", 2.0)),
+            use_pallas_ffn=bool(p.get("use_pallas_ffn", True)),
             mesh=mesh, expert_axis=expert_axis, dtype=dtype,
             use_checkpointing=bool(p.get("use_checkpointing", False)),
         )

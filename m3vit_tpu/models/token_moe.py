@@ -144,6 +144,7 @@ class TokenBlock(nn.Module):
     gate_task_specific_dim: int = 64
     capacity_factor: float = 2.0
     eval_capacity_factor: float = 4.0
+    use_pallas_ffn: bool = False
     mesh: Any = None
     expert_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
@@ -303,11 +304,18 @@ class TokenBlock(nn.Module):
             # id and are dropped before they occupy capacity (the reference
             # gathers compute indices on the host; reference :743-801)
             idx = jnp.where(compute[:, None], gate.top_k_indices, E)
+            ffn_fn = None
+            if self.use_pallas_ffn:
+                from m3vit_tpu.ops.expert_ffn import (
+                    make_pallas_ffn_fn, pallas_expert_ffn_available)
+                if pallas_expert_ffn_available():
+                    ffn_fn = make_pallas_ffn_fn()
             delta = moe_ffn(
                 normed, idx.reshape(B, N, self.moe_top_k),
                 gate.top_k_gates.reshape(B, N, self.moe_top_k), params,
                 mesh=self.mesh, expert_axis=self.expert_axis,
                 capacity_factor=cf, compute_dtype=self.dtype,
+                ffn_fn=ffn_fn,
             )
             dflat = delta.reshape(B * N, C).astype(jnp.float32)
             if reuse_flat is not None:
@@ -400,6 +408,7 @@ class TokenVisionTransformerMoE(nn.Module):
     branch_embed_dim: int = 32
     capacity_factor: float = 2.0
     eval_capacity_factor: float = 4.0
+    use_pallas_ffn: bool = False
     mesh: Any = None
     expert_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
@@ -462,6 +471,7 @@ class TokenVisionTransformerMoE(nn.Module):
                 gate_task_specific_dim=self.gate_task_specific_dim,
                 capacity_factor=self.capacity_factor,
                 eval_capacity_factor=self.eval_capacity_factor,
+                use_pallas_ffn=self.use_pallas_ffn,
                 mesh=self.mesh, expert_axis=self.expert_axis,
                 use_task_conditioned_attn=self.use_task_conditioned_attn,
                 attn_num_experts=self.attn_num_experts,
