@@ -120,7 +120,11 @@ def noisy_vmoe_gate(
 
     probs = jax.nn.softmax(noisy_logits, axis=-1)
     m = min(top_k + 1, num_experts)
-    if num_experts <= 256:
+    # small_topk materializes a [T, E, E] comparison tensor; only measured a
+    # win at E=16 (flagship), where it removes lax.top_k's row-serial scatter
+    # gradient.  Cap E so the intermediate stays modest (E=64, T=40k bf16 ->
+    # ~320 MB transient, fine; E=256 would be ~5 GB and O(E^2) VPU work).
+    if num_experts <= 64:
         top_logits, top_indices = small_topk(probs, m)
     else:
         top_logits, top_indices = jax.lax.top_k(probs, m)

@@ -261,6 +261,10 @@ def make_pallas_ffn_fn(interpret: bool = False):
         assert dropout_rate == 0.0 or dropout_rng is None, (
             "pallas expert FFN does not fuse dropout; use the einsum path"
         )
+        assert activation is None, (
+            "pallas expert FFN hardcodes exact (Abramowitz-Stegun erf) GELU; "
+            "route other activations through the einsum path"
+        )
         cd = compute_dtype
         return fused_expert_ffn(
             h.astype(cd), params.w1.astype(cd), params.b1, params.w2.astype(cd),
