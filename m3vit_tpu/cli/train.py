@@ -31,6 +31,7 @@ from m3vit_tpu.data.transforms import get_transformations
 from m3vit_tpu.evaluation.orchestrate import evaluate_online, validate_results
 from m3vit_tpu.losses.schemes import build_loss_fns
 from m3vit_tpu.models.factory import build_model
+from m3vit_tpu.moe.dispatch import parse_capacity_factor
 from m3vit_tpu.parallel.mesh import batch_sharding, make_mesh, shard_train_state
 from m3vit_tpu.train.optim import build_optimizer
 from m3vit_tpu.train.state import create_train_state
@@ -125,7 +126,21 @@ def parse_args(argv=None):
     ap.add_argument("--vmoe_noisy_std", type=float, default=None)
     ap.add_argument("--moe_noisy_gate_loss_weight", type=float, default=0.01)
     ap.add_argument("--gate_task_specific_dim", type=int, default=None)
-    ap.add_argument("--moe_capacity_factor", type=float, default=None)
+    ap.add_argument("--moe_capacity_factor", type=parse_capacity_factor,
+                    default=None,
+                    help="train dispatch capacity factor (a number, or "
+                         "'nodrop' for provably-no-drop capacity)")
+    ap.add_argument("--moe_eval_capacity_factor", type=parse_capacity_factor,
+                    default=None,
+                    help="eval dispatch capacity factor; 'nodrop' guarantees "
+                         "the reference's never-drop semantics")
+    ap.add_argument("--moe_drop_warn_threshold", type=float, default=0.01,
+                    help="warn when the train-step mean dropped-slot "
+                         "fraction exceeds this (the reference's ragged "
+                         "dispatch never drops)")
+    ap.add_argument("--allow_eval_drops", action="store_true",
+                    help="do not fail eval when the static capacity drops "
+                         "routing slots")
     ap.add_argument("--use_cv_loss", action="store_true", default=None)
     ap.add_argument("--no_pallas_ffn", action="store_true",
                     help="disable the fused Pallas expert-FFN kernel")
@@ -239,7 +254,8 @@ def run(args) -> Dict:
     overrides = {
         k: getattr(args, k)
         for k in ("moe_experts", "moe_top_k", "vmoe_noisy_std",
-                  "gate_task_specific_dim", "moe_capacity_factor", "epochs",
+                  "gate_task_specific_dim", "moe_capacity_factor",
+                  "moe_eval_capacity_factor", "epochs",
                   "trBatch", "valBatch", "compute_dtype", "save_dir",
                   "run_name", "accumulation_steps", "moe_gate_type",
                   "moe_mlp_ratio", "num_experts_pertask", "share_gamma",
@@ -247,7 +263,8 @@ def run(args) -> Dict:
         if getattr(args, k) is not None
     }
     for k in ("expert_prune", "regu_experts_fromtask", "regu_sem",
-              "sem_force", "regu_subimage", "gate_input_ahead"):
+              "sem_force", "regu_subimage", "gate_input_ahead",
+              "allow_eval_drops"):
         if getattr(args, k):
             overrides[k] = True
     if args.task_one_hot:
@@ -427,7 +444,9 @@ def run(args) -> Dict:
         obo_grad_fns, obo_apply = make_one_by_one_train_step(
             model, tasks, loss_fns, loss_weights, cv_weight=cv_w
         )
-    eval_step = make_eval_step(model, tasks)
+    # stats-carrying eval step: evaluate_online enforces the reference's
+    # no-drop semantics on dropped_slot_fraction (see _DropGuard)
+    eval_step = make_eval_step(model, tasks, with_stats=True)
 
     def run_eval(epoch: int) -> Dict:
         batches = val_loader.epoch(epoch)
@@ -551,6 +570,12 @@ def run(args) -> Dict:
                     | {"throughput_images_per_sec": ips}, epoch, step)
                 print(f"[epoch {epoch} it {it+1}/{steps_per_epoch}] "
                       f"loss={loss:.4f} ips={ips:.1f}")
+                drop = float(metrics.get("moe_dropped_frac", 0.0))
+                if drop > args.moe_drop_warn_threshold:
+                    print(f"WARNING: mean MoE dropped-slot fraction "
+                          f"{drop:.3f} > {args.moe_drop_warn_threshold} — "
+                          f"raise moe_capacity_factor (or use 'nodrop'); "
+                          f"the reference's ragged dispatch never drops")
         # epoch end: final loss sync
         loss = float(metrics["loss_total"])
         print(f"[epoch {epoch}] done in {time.time()-t_epoch:.1f}s "

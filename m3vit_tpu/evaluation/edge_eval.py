@@ -14,9 +14,20 @@ implementation of the same protocol:
   oisF = mean over images of the per-image best F
   AP   = area under the (interpolated) precision-recall curve
 
-Pixel correspondence uses greedy nearest-neighbour one-to-one matching via a
-KD-tree — a close, deterministic approximation of seism's CSA assignment
-(documented deviation; differences are typically <0.2 odsF points).
+Pixel correspondence, two matchers:
+
+  * exact (default): MAXIMUM-cardinality one-to-one bipartite matching over
+    all pred/GT pixel pairs within tolerance (Hopcroft-Karp via
+    scipy.sparse.csgraph).  seism's correspondPixels solves a min-COST
+    max-cardinality assignment (CSA); the boundary F-measure consumes only
+    the match COUNTS, so max-cardinality matching reproduces seism's
+    precision/recall exactly — distances only affect which pixels pair up,
+    not how many.
+  * greedy: nearest-first one-to-one matching via KD-tree with 4 candidates
+    per pred pixel (native C++ kernel when available).  Faster; a lower
+    bound on the exact count (maximal-within-candidates ⇒ ≥ 1/2 maximum in
+    the worst case, empirically within ~1e-3 odsF on boundary-like maps —
+    see tests/test_edge_eval.py::test_greedy_vs_exact_odsF_delta).
 """
 
 from __future__ import annotations
@@ -69,13 +80,50 @@ def _match_counts(
     return matched, n_pred, matched, n_gt
 
 
+def _match_counts_exact(
+    pred: np.ndarray, gt: np.ndarray, max_dist_px: float
+) -> Tuple[int, int, int, int]:
+    """Maximum-cardinality one-to-one correspondence within max_dist_px.
+
+    Exactly reproduces the seism/BSDS correspondPixels match counts
+    (reference evaluation/seism/, run_evaluation_edge.py:30-85): CSA's
+    min-cost max-cardinality assignment has the same cardinality as plain
+    maximum bipartite matching, and the F-measure uses only the counts.
+    """
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import maximum_bipartite_matching
+
+    pred_pts = np.argwhere(pred)
+    gt_pts = np.argwhere(gt)
+    n_pred, n_gt = len(pred_pts), len(gt_pts)
+    if n_pred == 0 or n_gt == 0:
+        return 0, n_pred, 0, n_gt
+
+    pairs = cKDTree(pred_pts).query_ball_tree(cKDTree(gt_pts), max_dist_px)
+    rows = np.fromiter(
+        (pi for pi, js in enumerate(pairs) for _ in js), np.int32
+    )
+    cols = np.fromiter((j for js in pairs for j in js), np.int32)
+    if len(rows) == 0:
+        return 0, n_pred, 0, n_gt
+    graph = csr_matrix(
+        (np.ones(len(rows), np.int8), (rows, cols)), shape=(n_pred, n_gt)
+    )
+    m = maximum_bipartite_matching(graph, perm_type="column")
+    matched = int((m != -1).sum())
+    return matched, n_pred, matched, n_gt
+
+
 def evaluate_boundaries(
     preds: Iterable[np.ndarray],  # float edge probability maps [H, W] in [0,1]
     gts: Iterable[np.ndarray],  # binary GT boundary maps [H, W]
     thresholds: int = 25,
     max_dist: float = 0.0075,
     apply_thinning: bool = True,
+    matcher: str = "exact",
 ) -> Dict:
+    assert matcher in ("exact", "greedy"), matcher
+    match_fn = _match_counts_exact if matcher == "exact" else _match_counts
     ts = np.linspace(1.0 / (thresholds + 1), 1.0 - 1.0 / (thresholds + 1),
                      thresholds)
     cnt_p = np.zeros(thresholds)
@@ -98,7 +146,7 @@ def evaluate_boundaries(
                 thinned = native.thin(pb)
                 pb = (thinned if thinned is not None
                       else zhang_suen_thin(pb)).astype(bool)
-            mp, tp_, mg, tg = _match_counts(pb, gt, tol)
+            mp, tp_, mg, tg = match_fn(pb, gt, tol)
             cnt_p[ti] += mp
             sum_p[ti] += tp_
             cnt_r[ti] += mg
@@ -131,7 +179,7 @@ def evaluate_boundaries(
 
 
 def eval_edge_predictions_from_dir(
-    save_dir: str, dataset, thresholds: int = 25
+    save_dir: str, dataset, thresholds: int = 25, matcher: str = "exact"
 ) -> Dict:
     """Score saved edge PNGs (save_model_predictions layout) against a
     dataset that yields {'edge': ...} samples (reference protocol)."""
@@ -149,4 +197,4 @@ def eval_edge_predictions_from_dir(
         for i in range(len(dataset)):
             yield dataset[i]["edge"]
 
-    return evaluate_boundaries(preds(), gts(), thresholds)
+    return evaluate_boundaries(preds(), gts(), thresholds, matcher=matcher)

@@ -38,6 +38,43 @@ def _resize_pred(pred: np.ndarray, size, flag: str) -> np.ndarray:
                       interpolation=_CV2[flag])
 
 
+class _DropGuard:
+    """Accumulates MoE dropped-slot stats over an eval pass and enforces the
+    reference's no-drop semantics (fastmoe ragged dispatch,
+    ckpt/custom_moe_layer.py:263-265): any token dropped by our static
+    capacity at eval is a correctness deviation -> raise, pointing at
+    `moe_eval_capacity_factor: nodrop` (the provably-sufficient capacity).
+    Stays lazy (device scalars) until the final check."""
+
+    def __init__(self, p):
+        self.total = None
+        self.allow = bool(p.get("allow_eval_drops", False))
+
+    def update(self, stats):
+        if stats and "dropped_slot_fraction" in stats:
+            d = stats["dropped_slot_fraction"]
+            self.total = d if self.total is None else self.total + d
+
+    def check(self):
+        if self.total is None:
+            return
+        total = float(self.total)
+        if total > 0 and not self.allow:
+            raise RuntimeError(
+                f"eval dropped MoE routing slots (sum of per-block dropped "
+                f"fractions = {total:.3e}); the reference never drops. Set "
+                f"moe_eval_capacity_factor: nodrop (guaranteed-sufficient "
+                f"capacity) or allow_eval_drops: true to override."
+            )
+
+
+def _split_eval_out(out):
+    """eval_step may return pred or (pred, moe_stats)."""
+    if isinstance(out, tuple):
+        return out
+    return out, None
+
+
 def evaluate_online(
     p,
     eval_step: Callable,
@@ -53,11 +90,13 @@ def evaluate_online(
     batch's (resized) labels — faster, slightly off the reference protocol.
     """
     meter = PerformanceMeter(p)
+    guard = _DropGuard(p)
     infer_flags = {t.name: t.infer_flagval for t in p["TASKS"]}
     for batch in val_loader:
         meta = batch["meta"]
         arrays = {k: v for k, v in batch.items() if k != "meta"}
-        pred = eval_step(state, arrays)
+        pred, moe_stats = _split_eval_out(eval_step(state, arrays))
+        guard.update(moe_stats)
         pred = {k: np.asarray(v) for k, v in pred.items()}
         for task, raw in pred.items():
             post = get_output(raw, task)  # [B, ...]
@@ -70,6 +109,7 @@ def evaluate_online(
                     gt_b = np.asarray(batch[task][i])
                     gt = _resize_pred(gt_b, size, "nearest")
                 meter.meters[task].update(pr[None], np.asarray(gt)[None])
+    guard.check()
     results = meter.get_score()
     if p.get("setup") == "multi_task":
         stl = single_task_reference_dict(p["train_db_name"], p["TASK_NAMES"])
@@ -88,6 +128,7 @@ def save_model_predictions(
 
     save_dir = save_dir or p["save_dir"]
     tasks = list(p["TASK_NAMES"])
+    guard = _DropGuard(p)
     for t in tasks:
         os.makedirs(os.path.join(save_dir, t), exist_ok=True)
     infer_flags = {t.name: t.infer_flagval for t in p["TASKS"]}
@@ -95,7 +136,8 @@ def save_model_predictions(
     for batch in val_loader:
         meta = batch["meta"]
         arrays = {k: v for k, v in batch.items() if k != "meta"}
-        pred = eval_step(state, arrays)
+        pred, moe_stats = _split_eval_out(eval_step(state, arrays))
+        guard.update(moe_stats)
         for task in tasks:
             post = get_output(np.asarray(pred[task]), task)
             for i, m in enumerate(meta):
@@ -114,6 +156,7 @@ def save_model_predictions(
                         fname + ".png",
                         arr if arr.ndim == 2 else arr[:, :, ::-1],
                     )
+    guard.check()
     return save_dir
 
 
@@ -166,6 +209,22 @@ def eval_saved_predictions(p, save_dir: str, dataset) -> Dict:
                 gt = gt[..., 0]
             meter.meters[task].update(pred[None], gt[None])
     results = meter.get_score()
+    if "edge" in tasks and p.get("eval_edge_odsF", True):
+        # true boundary odsF on the saved files — the in-process equivalent
+        # of the reference's external seism job (run_evaluation_edge.py:
+        # 30-85); exact (CSA-cardinality) correspondence by default
+        from m3vit_tpu.evaluation.edge_eval import (
+            eval_edge_predictions_from_dir,
+        )
+
+        ods = eval_edge_predictions_from_dir(
+            save_dir, dataset,
+            thresholds=int(p.get("edge_odsF_thresholds", 25)),
+            matcher=str(p.get("edge_odsF_matcher", "exact")),
+        )
+        results["edge"].update(
+            {k: ods[k] for k in ("odsF", "oisF", "ap", "ods_threshold")}
+        )
     if p.get("setup") == "multi_task":
         stl = single_task_reference_dict(p["train_db_name"], p["TASK_NAMES"])
         if stl:

@@ -18,6 +18,7 @@ from typing import Any, Optional
 
 import jax.numpy as jnp
 
+from m3vit_tpu.moe.dispatch import parse_capacity_factor
 from m3vit_tpu.models.heads import VisionTransformerUpHead
 from m3vit_tpu.models.multitask import (
     MultiTaskModel,
@@ -73,8 +74,9 @@ def build_backbone(p, mesh=None, expert_axis: Optional[str] = "expert"):
             multi_gate=bool(p.get("multi_gate", False)),
             num_tasks=num_tasks,
             gate_task_specific_dim=int(p.get("gate_task_specific_dim", -1)),
-            capacity_factor=float(p.get("moe_capacity_factor", 2.0)),
-            eval_capacity_factor=float(p.get("moe_eval_capacity_factor", 4.0)),
+            capacity_factor=parse_capacity_factor(p.get("moe_capacity_factor", 2.0)),
+            eval_capacity_factor=parse_capacity_factor(
+                p.get("moe_eval_capacity_factor", 4.0)),
             moe_gate_type=str(p.get("moe_gate_type", "noisy_vmoe")),
             use_pallas_ffn=bool(p.get("use_pallas_ffn", True)),
             # research knobs (reference train_fastmoe.py:107-155 CLI flags)
@@ -268,7 +270,9 @@ def build_model(p, mesh=None, expert_axis: Optional[str] = "expert"):
             bootstrap_share_gamma=float(p.get("bootstrap_share_gamma", 0.3)),
             bootstrap_first_moe=bool(p.get("bootstrap_first_moe", True)),
             share_reg_lambda=float(p.get("share_reg_lambda", 0.01)),
-            capacity_factor=float(p.get("moe_capacity_factor", 2.0)),
+            capacity_factor=parse_capacity_factor(p.get("moe_capacity_factor", 2.0)),
+            eval_capacity_factor=parse_capacity_factor(
+                p.get("moe_eval_capacity_factor", 4.0)),
             use_pallas_ffn=bool(p.get("use_pallas_ffn", True)),
             mesh=mesh, expert_axis=expert_axis, dtype=dtype,
             use_checkpointing=bool(p.get("use_checkpointing", False)),

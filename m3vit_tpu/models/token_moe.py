@@ -259,6 +259,22 @@ class TokenBlock(nn.Module):
         )
         cf = self.capacity_factor if train else self.eval_capacity_factor
 
+        # exact dropped-slot accounting (see MoEMlp in vit_moe.py): per-shard
+        # per-expert histogram of the final (compute-masked) routing ids vs
+        # the static dispatch capacity; masked ids == E never count.
+        from m3vit_tpu.moe.dispatch import compute_capacity
+
+        ep_sz = 1
+        if (self.mesh is not None and self.expert_axis is not None
+                and self.expert_axis in self.mesh.shape):
+            ep_sz = self.mesh.shape[self.expert_axis]
+        n_shards = 1
+        if ep_sz > 1:
+            for ax in ("data", "expert"):
+                n_shards *= self.mesh.shape.get(ax, 1)
+        drop_cap = compute_capacity(B * N // n_shards, self.moe_top_k, E, cf)
+        drop_overflow = jnp.asarray(0.0, jnp.float32)
+
         normed_all = norm2(outs.reshape(T * B, N, C)).reshape(T, B, N, C)
         # reuse cache (reference :673-812, dead plumbing there — reuse_bits
         # is always None upstream; here it is a live static-shape feature):
@@ -304,6 +320,13 @@ class TokenBlock(nn.Module):
             # id and are dropped before they occupy capacity (the reference
             # gathers compute indices on the host; reference :743-801)
             idx = jnp.where(compute[:, None], gate.top_k_indices, E)
+            hist = jax.nn.one_hot(
+                idx.reshape(n_shards, (B * N // n_shards) * self.moe_top_k),
+                E, dtype=jnp.float32,
+            ).sum(axis=1)
+            drop_overflow = drop_overflow + jnp.maximum(
+                hist - drop_cap, 0.0
+            ).sum()
             ffn_fn = None
             if self.use_pallas_ffn:
                 from m3vit_tpu.ops.expert_ffn import (
@@ -343,6 +366,10 @@ class TokenBlock(nn.Module):
             )
         stats["computed_tokens"] = computed_tokens
         stats["reused_tokens"] = reused_tokens
+        stats["dropped_slot_fraction"] = drop_overflow / jnp.maximum(
+            computed_tokens * self.moe_top_k, 1.0
+        )
+        stats["moe_stat_count"] = jnp.asarray(1.0, jnp.float32)
 
         # shared FFN once for shared positions (reference :1001-1014); its
         # hidden width follows the DENSE mlp_ratio, not the expert width

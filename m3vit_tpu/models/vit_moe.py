@@ -386,9 +386,39 @@ class MoEMlp(nn.Module):
             ffn_fn=ffn_fn,
         )
 
+        # exact dropped-slot accounting for the static-capacity deviation
+        # (the reference's ragged dispatch never drops,
+        # ckpt/custom_moe_layer.py:263-265).  Dispatch capacity is per
+        # (source shard, expert); recompute the per-shard per-expert
+        # histogram of the FINAL routing ids exactly as moe_ffn shards them
+        # (token axis split contiguously over the mesh batch axes), as a
+        # one-hot reduce — no scatter.  Ids >= E (token-variant masking) are
+        # intentional non-compute, not drops.
+        from m3vit_tpu.moe.dispatch import compute_capacity
+
+        T_all = B * N
+        ep = 1
+        if (self.mesh is not None and self.expert_axis is not None
+                and self.expert_axis in self.mesh.shape):
+            ep = self.mesh.shape[self.expert_axis]
+        n_shards = 1
+        if ep > 1:
+            for ax in ("data", "expert"):
+                n_shards *= self.mesh.shape.get(ax, 1)
+        cap = compute_capacity(T_all // n_shards, self.top_k, E, cf)
+        ids = jax.lax.stop_gradient(top_idx).reshape(
+            n_shards, (T_all // n_shards) * self.top_k
+        )
+        shard_hist = jax.nn.one_hot(ids, E, dtype=jnp.float32).sum(axis=1)
+        overflow = jnp.maximum(shard_hist - cap, 0.0).sum()
+        drop_stats = {
+            "dropped_slot_fraction": overflow / (T_all * self.top_k),
+            "moe_stat_count": jnp.asarray(1.0, jnp.float32),
+        }
+
         # auxiliary gate-logit regularizers (reference noisy_gate_vmoe.py
         # :95-162); both operate on patch-token clean logits
-        regu = {}
+        regu = drop_stats
         if (self.regu_sem or self.regu_subimage) and sem_patch is not None:
             n_patch = sem_patch.shape[1]
             logits3d = gate.clean_logits.reshape(B, N, E)
@@ -523,21 +553,15 @@ class MoEBlock(nn.Module):
         tk = jax.lax.stop_gradient(gate.top_k_gates.astype(jnp.float32))
         ent = -(tk * jnp.log(jnp.clip(tk, 1e-12))).sum(-1)
         load_hist = jax.lax.stop_gradient(gate_load_counts(gate))
-        # fraction of routed slots beyond static capacity (dropped by the
-        # dispatcher) — the knob for tuning capacity_factor
-        from m3vit_tpu.moe.dispatch import compute_capacity
-
-        cf = self.capacity_factor if train else self.eval_capacity_factor
-        cap = compute_capacity(tk.shape[0], self.moe_top_k, self.moe_experts,
-                               cf)
-        overflow = jnp.maximum(load_hist - cap, 0.0).sum()
         stats = {
             "gate_entropy_sum": ent.sum(),
             "top1_prob_sum": tk.max(-1).sum(),
             "gate_token_count": jnp.asarray(tk.shape[0], jnp.float32),
             "expert_load_hist": load_hist,
-            "dropped_slot_fraction": overflow / (tk.shape[0] * self.moe_top_k),
         }
+        # `regu` carries the EXACT dropped_slot_fraction (per-shard overflow
+        # of the final routing ids vs the dispatch capacity) + moe_stat_count
+        # for normalizing after the block/task tree-sum; see MoEMlp.
         stats.update(regu)
         return x, cv_loss, stats
 

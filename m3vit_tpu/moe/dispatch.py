@@ -59,12 +59,40 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+#: Sentinel capacity factor: provably-no-drop dispatch.  top-k indices are
+#: distinct per token, so one expert can receive at most `num_tokens` slots
+#: from one source shard; capacity == num_tokens therefore NEVER drops —
+#: the static-shape equivalent of fastmoe's ragged no-drop semantics
+#: (reference ckpt/custom_moe_layer.py:263-265).  Accepted anywhere a
+#: capacity factor is (YAML value `nodrop`, CLI `--moe_*capacity_factor
+#: nodrop`).
+NO_DROP = float("inf")
+
+
 def compute_capacity(
     num_tokens: int, top_k: int, num_experts: int, capacity_factor: float
 ) -> int:
-    """Static per-(source-shard, expert) capacity, rounded for TPU tiling."""
+    """Static per-(source-shard, expert) capacity, rounded for TPU tiling.
+
+    `capacity_factor=NO_DROP` (inf) gives the smallest capacity that can
+    never drop a token (= num_tokens, see NO_DROP).  Finite factors are
+    clamped to that same bound — capacity beyond it is pure HBM waste.
+    """
+    if capacity_factor != capacity_factor or capacity_factor == NO_DROP:
+        return max(8, round_up(num_tokens, 8))
     c = int(capacity_factor * num_tokens * top_k / num_experts) + 1
+    c = min(c, num_tokens)
     return max(8, round_up(c, 8))
+
+
+def parse_capacity_factor(value) -> float:
+    """Parse a capacity factor from config/CLI: a number, or 'nodrop'."""
+    if isinstance(value, str):
+        v = value.strip().lower()
+        if v in ("nodrop", "no_drop", "inf"):
+            return NO_DROP
+        return float(v)
+    return float(value)
 
 
 def position_in_expert(flat_experts: jnp.ndarray, num_experts: int) -> jnp.ndarray:

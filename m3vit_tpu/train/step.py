@@ -79,6 +79,13 @@ def make_train_step(
         metrics = {f"loss_{k}": v for k, v in losses.items()}
         metrics["loss_cv"] = cv
         metrics["loss_total_with_cv"] = total
+        if "dropped_slot_fraction" in stats:
+            # mean over MoE blocks (and tasks in multi-gate): the guard for
+            # the static-capacity deviation (the reference never drops;
+            # ckpt/custom_moe_layer.py:263-265) — the CLI warns above
+            # --moe_drop_warn_threshold
+            metrics["moe_dropped_frac"] = stats["dropped_slot_fraction"] / \
+                jnp.maximum(stats["moe_stat_count"], 1.0)
         return state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
@@ -150,14 +157,21 @@ def make_one_by_one_train_step(
     return grad_fns, apply_fn
 
 
-def make_eval_step(model, tasks: List[str]):
-    """Returns eval_step(state, batch) -> pred dict (full multi-task forward)."""
+def make_eval_step(model, tasks: List[str], with_stats: bool = False):
+    """Returns eval_step(state, batch) -> pred dict (full multi-task forward).
+
+    with_stats=True returns (pred, moe_stats) so eval can enforce the
+    no-drop guarantee (fastmoe's ragged dispatch never drops a token,
+    reference ckpt/custom_moe_layer.py:263-265; our static capacity may —
+    evaluate_online raises if dropped_slot_fraction > 0 at eval)."""
 
     def eval_step(state, batch):
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        pred, _, _ = model.apply(variables, batch["image"], train=False)
+        pred, _, stats = model.apply(variables, batch["image"], train=False)
+        if with_stats:
+            return pred, stats
         return pred
 
     return jax.jit(eval_step)
