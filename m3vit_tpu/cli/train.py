@@ -425,8 +425,16 @@ def run(args) -> Dict:
     # train_utils.py:440-449)
     cv_w = float(args.moe_noisy_gate_loss_weight) if p.get("use_cv_loss") \
         else 0.0
+    # token variant: the shareability-predictor gumbel temperature can follow
+    # a per-epoch schedule (reference train_fastmoe.py:628-632)
+    from m3vit_tpu.train.optim import share_pred_temperature
+
+    is_token = "Token" in str(p.get("backbone", "")) \
+        or p.get("model") == "token_moe"
+    use_share_temp = is_token and share_pred_temperature(p, 0) is not None
     train_step = make_train_step(model, tasks, loss_fns, loss_weights,
-                                 cv_weight=cv_w)
+                                 cv_weight=cv_w,
+                                 pass_share_temp=use_share_temp)
     # sem-guided knobs run only during warmup epochs with semseg labels fed
     # to the backbone (reference train_utils.py:424-426); a second compiled
     # step carries the extra input + regu losses (use_sem computed above)
@@ -534,6 +542,11 @@ def run(args) -> Dict:
         step_fn = train_step
         if use_sem and epoch < args.warmup_epochs:
             step_fn = train_step_sem
+        share_temp = None
+        if use_share_temp:
+            t = share_pred_temperature(p, epoch)
+            share_temp = jnp.float32(t)
+            print(f"[epoch {epoch}] share_pred temperature = {t:.4f}")
         for it, batch in enumerate(batches):
             batch = {k: v for k, v in batch.items() if k != "meta"}
             if args.one_by_one:
@@ -553,6 +566,8 @@ def run(args) -> Dict:
                         if k == f"decoders_{t}" or k not in merged_bs:
                             merged_bs[k] = v
                 state = obo_apply(state, grads_sum, merged_bs)
+            elif share_temp is not None:
+                state, metrics = step_fn(state, batch, rng, share_temp)
             else:
                 state, metrics = step_fn(state, batch, rng)
             if profiling and it == 2:

@@ -223,6 +223,8 @@ def build_model(p, mesh=None, expert_axis: Optional[str] = "expert"):
     """Return the composed model for config p (reference get_model,
     common_config.py:468-567)."""
     model_name = p.get("model", "baseline")
+    # reference spelling aliases (configs use 'pad_net', common_config.py:541)
+    model_name = {"pad_net": "padnet"}.get(model_name, model_name)
     if model_name in ("cross_stitch", "nddr_cnn", "mtan", "padnet", "mti_net",
                       "papnet_vit", "jtrl"):
         return _build_mtl_method(p, model_name, mesh)
@@ -245,7 +247,8 @@ def build_model(p, mesh=None, expert_axis: Optional[str] = "expert"):
             tasks=tasks,
         )
 
-    if p["backbone"] in ("TokenVisionTransformer_moe", "token_moe"):
+    if p["backbone"] in ("TokenVisionTransformer_moe",
+                         "Token_VisionTransformer_moe", "token_moe"):
         from m3vit_tpu.models.token_moe import (
             TokenMultiTaskModel,
             TokenVisionTransformerMoE,

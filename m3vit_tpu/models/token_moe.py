@@ -58,7 +58,11 @@ class ShareabilityPredictor(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, task_emb: Optional[jnp.ndarray],
                  train: bool = False,
-                 rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                 rng: Optional[jax.Array] = None,
+                 temperature: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        # `temperature` (traced scalar) overrides the static field: the
+        # per-epoch schedule (reference common_config.py:927-957 +
+        # train_fastmoe.py:628-632) changes it without recompiling
         B, N, C = x.shape
         d_in = C + (self.d_task_emb if self.d_task_emb > 0 else 0)
         w = self.param("w_gate", lambda k, s: gate_init(k, s[0], s[1]),
@@ -75,7 +79,9 @@ class ShareabilityPredictor(nn.Module):
             g = -jnp.log(-jnp.log(
                 jax.random.uniform(rng, logits.shape, minval=1e-10, maxval=1.0)
             ))
-            y = jax.nn.softmax((logits + g) / self.temperature, axis=-1)
+            tau = (temperature if temperature is not None
+                   else self.temperature)
+            y = jax.nn.softmax((logits + g) / tau, axis=-1)
             if self.hard:
                 hard = jax.nn.one_hot(y.argmax(-1), 2)
                 y = hard + y - jax.lax.stop_gradient(y)
@@ -164,6 +170,7 @@ class TokenBlock(nn.Module):
         train: bool = False,
         prev_share_mask: Optional[jnp.ndarray] = None,  # [T, B, N] bool
         reuse_bits: Optional[jnp.ndarray] = None,  # [B, N] int32 task bitmask
+        share_temp: Optional[jnp.ndarray] = None,  # scheduled gumbel tau
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Dict]:
         T, B, N, C = outs.shape
         norm1 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")
@@ -201,7 +208,7 @@ class TokenBlock(nn.Module):
         for t in range(T):
             r = jax.random.fold_in(rng, t) if rng is not None else None
             te = task_emb[t] if task_emb is not None else None
-            g.append(share_pred(outs[t], te, train, r))
+            g.append(share_pred(outs[t], te, train, r, share_temp))
         g_shared = jnp.stack(g)  # [T, B, N]
 
         # 3) merge-maintain-split + broadcast
@@ -443,7 +450,8 @@ class TokenVisionTransformerMoE(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, task_id=None, train: bool = False,
-                 reuse_bits: Optional[jnp.ndarray] = None):
+                 reuse_bits: Optional[jnp.ndarray] = None,
+                 share_temp: Optional[jnp.ndarray] = None):
         # reuse_bits [B, 1+N] int32: per-token task bitmask enabling the MoE
         # blocks' expert-output reuse cache (reference token/
         # vision_transformer_moe.py:673-812 — dead there, live here)
@@ -505,7 +513,8 @@ class TokenVisionTransformerMoE(nn.Module):
                 attn_expert_top_k=self.attn_expert_top_k,
                 branch_embed_dim=self.branch_embed_dim,
                 dtype=self.dtype, name=f"block_{i}",
-            )(outs, task_emb, gamma, train, prev_share_mask, reuse_bits)
+            )(outs, task_emb, gamma, train, prev_share_mask, reuse_bits,
+              share_temp)
             prev_share_mask = share_mask
             total_aux = total_aux + aux["cv_loss"]
             if train and self.share_reg_lambda > 0:
@@ -526,11 +535,13 @@ class TokenMultiTaskModel(nn.Module):
     decoders: Dict[str, nn.Module]
     tasks: Any
 
-    def __call__(self, x, train: bool = False, single_task=None):
+    def __call__(self, x, train: bool = False, single_task=None,
+                 share_temp=None):
         from m3vit_tpu.models.heads import resize_bilinear
 
         out_size = x.shape[1:3]
-        streams, aux, stats = self.backbone(x, train=train)
+        streams, aux, stats = self.backbone(x, train=train,
+                                            share_temp=share_temp)
         out = {}
         names = [single_task] if single_task is not None else list(self.tasks)
         for task in names:

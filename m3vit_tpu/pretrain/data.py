@@ -1,13 +1,22 @@
 """ImageNet ImageFolder reader with DeiT-style train augmentation.
 
-reference: pretrain/datasets/imagenet.py (ImageFolder + transforms).  Uses
-PIL + numpy; RandomResizedCrop / horizontal flip / ImageNet normalization.
+reference: pretrain/datasets/imagenet.py (ImageFolder + transforms, class-dir
+label inference, folder-index cache) and pretrain/datasets/samplers.py
+(RASampler repeated augmentation).  Uses PIL + numpy; RandomResizedCrop /
+horizontal flip / ImageNet normalization.  The reference's HuggingFace
+auto-materialization path (imagenet.py:44-291) is a network feature —
+justified omission in this zero-egress environment; the on-disk ImageFolder
+layout it materializes INTO is fully supported, including the
+"{label}_{name}" numeric-prefix class-dir scheme it writes
+(imagenet.py:138-176).
 """
 
 from __future__ import annotations
 
+import json
+import math
 import os
-from typing import Iterator, List, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 from PIL import Image
@@ -16,9 +25,49 @@ MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 STD = np.array([0.229, 0.224, 0.225], np.float32)
 EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
+INDEX_CACHE = "m3vit_imagefolder_index.json"
+
+
+def infer_class_mapping(class_dirs: List[str]) -> Dict[str, int]:
+    """Class-dir name -> label.
+
+    When EVERY dir matches the "{int}_{name}" scheme the HF materializer
+    writes (reference imagenet.py:138-176), the numeric prefix IS the label;
+    otherwise labels are alphabetical order (torchvision ImageFolder rule).
+    """
+    parsed = {}
+    for d in class_dirs:
+        head = d.split("_", 1)[0]
+        if not head.isdigit():
+            parsed = None
+            break
+        parsed[d] = int(head)
+    if parsed and len(set(parsed.values())) == len(parsed):
+        return parsed
+    return {c: i for i, c in enumerate(sorted(class_dirs))}
+
+
+def _scan_folder(root: str) -> Tuple[List[Tuple[str, int]], Dict[str, int]]:
+    classes = sorted(
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+    )
+    class_to_idx = infer_class_mapping(classes)
+    samples: List[Tuple[str, int]] = []
+    for c in classes:
+        cdir = os.path.join(root, c)
+        for f in sorted(os.listdir(cdir)):
+            if f.lower().endswith(EXTS):
+                samples.append((os.path.join(cdir, f), class_to_idx[c]))
+    return samples, class_to_idx
+
 
 class ImageFolder:
-    def __init__(self, root: str, img_size: int = 224, train: bool = True):
+    """ImageFolder with an on-disk index cache (reference imagenet.py:
+    328-430 caches the 1.3M-file folder scan; re-validated against the
+    current class-dir listing)."""
+
+    def __init__(self, root: str, img_size: int = 224, train: bool = True,
+                 use_index_cache: bool = True):
         if not os.path.isdir(root):
             raise FileNotFoundError(root)
         self.root = root
@@ -27,23 +76,45 @@ class ImageFolder:
         classes = sorted(
             d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
         )
-        self.class_to_idx = {c: i for i, c in enumerate(classes)}
-        self.samples: List[Tuple[str, int]] = []
-        for c in classes:
-            cdir = os.path.join(root, c)
-            for f in sorted(os.listdir(cdir)):
-                if f.lower().endswith(EXTS):
-                    self.samples.append((os.path.join(cdir, f),
-                                         self.class_to_idx[c]))
+        cache_path = os.path.join(root, INDEX_CACHE)
+        cached = None
+        if use_index_cache and os.path.isfile(cache_path):
+            try:
+                with open(cache_path) as f:
+                    cached = json.load(f)
+                if cached.get("classes") != classes:
+                    cached = None  # stale: class dirs changed
+            except (json.JSONDecodeError, OSError):
+                cached = None
+        if cached is not None:
+            self.class_to_idx = dict(cached["class_to_idx"])
+            self.samples = [(os.path.join(root, p), int(l))
+                            for p, l in cached["samples"]]
+        else:
+            self.samples, self.class_to_idx = _scan_folder(root)
+            if use_index_cache:
+                try:
+                    with open(cache_path, "w") as f:
+                        json.dump({
+                            "classes": classes,
+                            "class_to_idx": self.class_to_idx,
+                            "samples": [
+                                (os.path.relpath(p, root), l)
+                                for p, l in self.samples
+                            ],
+                        }, f)
+                except OSError:
+                    pass  # read-only dataset mount: scan each time
 
     def __len__(self):
         return len(self.samples)
 
-    def load(self, i: int, rng: np.random.RandomState) -> Tuple[np.ndarray, int]:
+    def load(self, i: int, rng: np.random.RandomState,
+             train: Optional[bool] = None) -> Tuple[np.ndarray, int]:
         path, label = self.samples[i]
         img = Image.open(path).convert("RGB")
         s = self.img_size
-        if self.train:
+        if self.train if train is None else train:
             # RandomResizedCrop(scale 0.08-1.0, ratio 3/4-4/3)
             w, h = img.size
             area = w * h
@@ -75,13 +146,84 @@ class ImageFolder:
         return (arr - MEAN) / STD, label
 
 
+def repeated_aug_order(
+    n: int, epoch: int, num_repeats: int = 3, seed: int = 0,
+    round_to: int = 256,
+) -> np.ndarray:
+    """DeiT repeated-augmentation epoch order (reference RASampler,
+    pretrain/datasets/samplers.py:9-72, single-replica form).
+
+    Shuffle with the epoch seed, repeat each index `num_repeats` times
+    CONSECUTIVELY (same image, independent augmentations land in the same
+    epoch), pad/truncate to ceil(n*r) and select the first
+    floor(n/round_to)*round_to samples — the reference's
+    num_selected_samples with world_size 1.
+    """
+    rng = np.random.RandomState(seed + epoch)
+    indices = rng.permutation(n)
+    indices = np.repeat(indices, num_repeats)
+    total = int(math.ceil(n * num_repeats))
+    if len(indices) < total:
+        indices = np.concatenate([indices, indices[: total - len(indices)]])
+    selected = int(math.floor(n / round_to) * round_to)
+    if selected == 0:
+        selected = n  # tiny (fabricated/test) datasets: keep one epoch's worth
+    return indices[:selected]
+
+
+def split_train_val(
+    ds: ImageFolder, val_fraction: float = 0.04, seed: int = 0
+) -> Tuple[List[int], List[int]]:
+    """Deterministic per-class holdout when no val/ directory exists.
+
+    Same (train, val) index partition every run for a given folder + seed:
+    per class, a seeded permutation holds out ceil(fraction * class_size)
+    samples (at least 1).  Extension over the reference, which requires a
+    materialized val split on disk (imagenet.py:120-131).
+    """
+    by_class: Dict[int, List[int]] = {}
+    for i, (_, label) in enumerate(ds.samples):
+        by_class.setdefault(label, []).append(i)
+    train_idx: List[int] = []
+    val_idx: List[int] = []
+    for label in sorted(by_class):
+        idx = np.asarray(by_class[label])
+        order = np.random.RandomState(seed + label).permutation(len(idx))
+        k = max(1, int(math.ceil(val_fraction * len(idx))))
+        val_idx.extend(idx[order[:k]].tolist())
+        train_idx.extend(idx[order[k:]].tolist())
+    return sorted(train_idx), sorted(val_idx)
+
+
 def iterate_epoch(
-    ds: ImageFolder, batch_size: int, epoch: int, seed: int = 0
+    ds: ImageFolder, batch_size: int, epoch: int, seed: int = 0,
+    repeated_aug: bool = False, num_repeats: int = 3,
+    subset: Optional[List[int]] = None,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     rng = np.random.RandomState(seed + epoch)
-    order = rng.permutation(len(ds))
-    nb = len(ds) // batch_size
+    n = len(subset) if subset is not None else len(ds)
+    if repeated_aug:
+        order = repeated_aug_order(n, epoch, num_repeats, seed)
+    else:
+        order = rng.permutation(n)
+    if subset is not None:
+        order = np.asarray(subset)[order]
+    nb = len(order) // batch_size
     for b in range(nb):
         idx = order[b * batch_size:(b + 1) * batch_size]
         ims, labs = zip(*(ds.load(int(i), rng) for i in idx))
+        yield np.stack(ims), np.asarray(labs)
+
+
+def iterate_eval(
+    ds: ImageFolder, batch_size: int, subset: Optional[List[int]] = None
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Deterministic full-coverage eval pass (center-crop path; the last
+    partial batch is dropped to keep shapes static)."""
+    rng = np.random.RandomState(0)  # unused by the eval transform
+    order = np.asarray(subset) if subset is not None else np.arange(len(ds))
+    nb = len(order) // batch_size
+    for b in range(nb):
+        idx = order[b * batch_size:(b + 1) * batch_size]
+        ims, labs = zip(*(ds.load(int(i), rng, train=False) for i in idx))
         yield np.stack(ims), np.asarray(labs)

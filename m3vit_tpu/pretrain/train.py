@@ -73,6 +73,22 @@ def parse_args(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--log_interval", type=int, default=50)
+    # data parity knobs (reference pretrain/train.py:528-537 + samplers.py)
+    ap.add_argument("--repeated_aug", dest="repeated_aug",
+                    action="store_true", default=True,
+                    help="DeiT repeated-augmentation sampling (reference "
+                         "default True)")
+    ap.add_argument("--no_repeated_aug", dest="repeated_aug",
+                    action="store_false")
+    ap.add_argument("--num_repeats", type=int, default=3)
+    ap.add_argument("--val_dir", default=None,
+                    help="eval ImageFolder; defaults to <data_dir>/val when "
+                         "present (with train under <data_dir>/train), else "
+                         "a deterministic per-class holdout of data_dir")
+    ap.add_argument("--val_fraction", type=float, default=0.04,
+                    help="holdout fraction when no val/ dir exists")
+    ap.add_argument("--eval_interval", type=int, default=1,
+                    help="epochs between val evals (raw + EMA weights)")
     return ap.parse_args(argv)
 
 
@@ -95,15 +111,51 @@ def synthetic_loader(args) -> Tuple[Iterator, int]:
 
 
 def imagefolder_loader(args):
-    from m3vit_tpu.pretrain.data import ImageFolder, iterate_epoch
+    """Train + val loaders with the reference's split layout: data_dir/train +
+    data_dir/val when present (reference imagenet.py:120-131), a flat folder
+    with an explicit --val_dir, or a deterministic per-class holdout.
+    Returns (train_epochs, steps_per_epoch, val_batches_fn)."""
+    from m3vit_tpu.pretrain.data import (
+        ImageFolder,
+        iterate_epoch,
+        iterate_eval,
+        repeated_aug_order,
+        split_train_val,
+    )
 
-    ds = ImageFolder(args.data_dir, args.img_size)
-    steps = len(ds) // args.batch_size
+    train_root = args.data_dir
+    val_root = args.val_dir
+    if val_root is None and os.path.isdir(os.path.join(args.data_dir, "val")) \
+            and os.path.isdir(os.path.join(args.data_dir, "train")):
+        train_root = os.path.join(args.data_dir, "train")
+        val_root = os.path.join(args.data_dir, "val")
+
+    ds = ImageFolder(train_root, args.img_size)
+    train_subset = None
+    val_batches = None
+    if val_root is not None:
+        val_ds = ImageFolder(val_root, args.img_size, train=False)
+        val_batches = lambda: iterate_eval(val_ds, args.batch_size)  # noqa: E731
+    elif args.val_fraction > 0:
+        train_subset, val_idx = split_train_val(ds, args.val_fraction,
+                                                args.seed)
+        val_batches = lambda: iterate_eval(ds, args.batch_size, val_idx)  # noqa: E731
+
+    n = len(train_subset) if train_subset is not None else len(ds)
+    if args.repeated_aug:
+        steps = len(repeated_aug_order(n, 0, args.num_repeats,
+                                       args.seed)) // args.batch_size
+    else:
+        steps = n // args.batch_size
 
     def epochs(epoch):
-        yield from iterate_epoch(ds, args.batch_size, epoch, args.seed)
+        yield from iterate_epoch(
+            ds, args.batch_size, epoch, args.seed,
+            repeated_aug=args.repeated_aug, num_repeats=args.num_repeats,
+            subset=train_subset,
+        )
 
-    return epochs, steps
+    return epochs, steps, val_batches
 
 
 def build_model(args) -> MoEViTForClassification:
@@ -151,8 +203,9 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     if args.synthetic:
         loader, steps_per_epoch = synthetic_loader(args)
+        val_batches = None
     else:
-        loader, steps_per_epoch = imagefolder_loader(args)
+        loader, steps_per_epoch, val_batches = imagefolder_loader(args)
 
     model = build_model(args)
     warmup = args.warmup_epochs * steps_per_epoch
@@ -231,6 +284,7 @@ def main(argv=None):
         return (logits.argmax(-1) == labels).mean()
 
     rng = jax.random.key(args.seed + 1)
+    best_ema = -1.0
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         for it, (images, labels) in enumerate(loader(epoch)):
@@ -250,6 +304,27 @@ def main(argv=None):
             os.path.join(args.output_dir, "ema"),
             state.replace(params=ema_params), epoch,
         )
+        # val eval on BOTH raw and EMA weights (the reference evaluates the
+        # EMA model every epoch and tracks its best accuracy,
+        # pretrain/train.py model_ema + engine/; DeiT recipe)
+        if val_batches is not None and (epoch + 1) % args.eval_interval == 0:
+            accs = {}
+            for name, params in (("raw", state.params), ("ema", ema_params)):
+                correct = seen = 0
+                for images, labels in val_batches():
+                    a = eval_step(params, jnp.asarray(images),
+                                  jnp.asarray(labels))
+                    correct += float(a) * len(labels)
+                    seen += len(labels)
+                accs[name] = correct / max(seen, 1)
+            print(f"[epoch {epoch}] val acc raw={accs['raw']:.4f} "
+                  f"ema={accs['ema']:.4f}")
+            if accs["ema"] > best_ema:
+                best_ema = accs["ema"]
+                save_checkpoint(
+                    os.path.join(args.output_dir, "best_ema"),
+                    state.replace(params=ema_params), epoch,
+                )
     return state
 
 

@@ -83,3 +83,33 @@ def build_optimizer(p, steps_per_epoch: int) -> optax.GradientTransformation:
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx
+
+
+def share_pred_temperature(p, epoch: int) -> Optional[float]:
+    """Shareability-predictor Gumbel temperature for this epoch, or None when
+    no schedule is configured (reference compute_share_pred_temperature,
+    common_config.py:927-957; applied per epoch in train_fastmoe.py:628-632).
+
+    Keys: share_pred_temp_schedule (none|linear|cosine),
+    share_pred_temp_start/end, share_pred_temp_warmup_epochs.
+    """
+    import math
+
+    schedule = str(p.get("share_pred_temp_schedule", "none")).lower()
+    if schedule in ("none", "off", "false", ""):
+        return None
+    t_start = float(p.get("share_pred_temp_start", 1.0))
+    t_end = float(p.get("share_pred_temp_end", 1.0))
+    warmup = int(p.get("share_pred_temp_warmup_epochs", 0))
+    total = int(p.get("epochs", 1))
+    if total <= 1 or epoch < warmup:
+        return t_start
+    denom = max(1, total - warmup - 1)
+    progress = min(1.0, max(0.0, float(epoch - warmup) / float(denom)))
+    if schedule == "linear":
+        return t_start + (t_end - t_start) * progress
+    if schedule == "cosine":
+        return t_end + 0.5 * (t_start - t_end) * (
+            1.0 + math.cos(math.pi * progress)
+        )
+    raise ValueError(f"Invalid share_pred_temp_schedule: {schedule}")

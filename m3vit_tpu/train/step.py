@@ -28,6 +28,7 @@ def make_train_step(
     pass_sem: bool = False,
     semregu_weight: float = 0.01,
     subimage_weight: float = 0.01,
+    pass_share_temp: bool = False,
 ):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -42,7 +43,10 @@ def make_train_step(
     addition commented out; we apply them as intended).
     """
 
-    def train_step(state, batch, rng):
+    def train_step(state, batch, rng, share_temp=None):
+        # share_temp: traced scalar for the token variant's scheduled gumbel
+        # temperature (reference train_fastmoe.py:628-632); passed per epoch
+        # by the CLI without recompiling
         g_rng, d_rng = jax.random.split(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):
@@ -52,6 +56,8 @@ def make_train_step(
             kwargs = {}
             if pass_sem:
                 kwargs["sem"] = batch["semseg"]
+            if pass_share_temp and share_temp is not None:
+                kwargs["share_temp"] = share_temp
             (pred, cv, stats), new_state = model.apply(
                 variables,
                 batch["image"],

@@ -1,0 +1,97 @@
+#!/usr/bin/env bash
+# Real-data readiness playbook (round-1 VERDICT item 8).
+#
+# The build environment has no datasets on disk; this script is the one
+# command to run the moment PASCAL_MT / NYUD_MT / cityscapes mount, producing
+# the accuracy-parity evidence BASELINE.md asks for:
+#
+#   stage 1 (default): overfit-64 sanity for the five BASELINE target setups
+#       — each must drive its train loss under the threshold, proving the
+#       full data->model->loss->optimizer loop works on real data.
+#   stage 2 (--anchors): the single-task PASCAL runs (Δm protocol anchors,
+#       reference configs/pascal/resnet18/{task}.yml).
+#   stage 3 (--flagship): the full ViT-small-MoE 5-task PASCAL run + file-
+#       protocol eval (save-predictions + odsF), to compare against
+#       BASELINE.md's M3ViT-Multi row.
+#
+# Smoke-tested against the fabricated dataset tree via
+# tests/test_cli_e2e.py (same CLI path, fabricated PASCAL_MT root).
+#
+# Usage: scripts/run_when_mounted.sh [--anchors] [--flagship]
+#        DB_ROOT=/path/to/multi_task_datasets scripts/run_when_mounted.sh
+
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+DB_ROOT="${DB_ROOT:-$HOME/multi_task_datasets}"
+RUNS="${RUNS:-$HOME/m3vit_tpu_runs}"
+PY="${PYTHON:-python}"
+
+if [ ! -d "$DB_ROOT/PASCAL_MT/JPEGImages" ]; then
+  echo "PASCAL_MT not found under $DB_ROOT — mount the datasets first" >&2
+  echo "(expected layout: reference data/pascal_context.py:35-60;" >&2
+  echo " set DB_ROOT=... to override)" >&2
+  exit 1
+fi
+
+overfit_run() {  # config epochs loss_threshold extra...
+  local cfg="$1" epochs="$2" thresh="$3"; shift 3
+  local name; name="overfit_$(basename "$cfg" .yml)"
+  echo "== overfit-64: $cfg (epochs=$epochs, loss<$thresh)"
+  $PY -m m3vit_tpu.cli.train --config_exp "$cfg" \
+      --overfit --epochs "$epochs" --trBatch 4 --valBatch 4 \
+      --run_name "$name" "$@" 2>&1 | tee "/tmp/$name.log"
+  $PY - "$thresh" "/tmp/$name.log" <<'PYEOF'
+import re, sys
+thresh, log = float(sys.argv[1]), sys.argv[2]
+losses = [float(m.group(1)) for m in
+          re.finditer(r"\[epoch \d+\] done in [\d.]+s loss=([\d.]+)",
+                      open(log).read())]
+assert losses, f"no epoch losses parsed from {log}"
+final = losses[-1]
+assert final < thresh, \
+    f"overfit-64 failed: final loss {final:.3f} >= {thresh} ({log})"
+print(f"  OK: loss {losses[0]:.3f} -> {final:.3f} over {len(losses)} epochs")
+PYEOF
+}
+
+# ---- stage 1: the five BASELINE target setups, overfit-64 ----
+overfit_run configs/pascal/vit_moe_small_multi_task.yml 20 4.0
+overfit_run configs/pascal/vit_small_dense_multi_task.yml 20 4.0
+overfit_run configs/pascal/token_moe_multi_task.yml 20 4.0
+if [ -d "$DB_ROOT/NYUD_MT" ]; then
+  overfit_run configs/nyud/vit_moe_task_conditioned.yml 20 2.0
+else
+  echo "!! NYUD_MT not mounted — skipping NYUD overfit"
+fi
+if [ -d "$DB_ROOT/cityscapes" ]; then
+  overfit_run configs/cityscapes/vit_base_moe_ep.yml 20 2.0
+else
+  echo "!! cityscapes not mounted — skipping cityscapes overfit"
+fi
+echo "== stage 1 (overfit-64) PASSED"
+
+# ---- stage 2: single-task PASCAL anchors (Δm protocol) ----
+if [[ "${1:-}" == "--anchors" || "${2:-}" == "--anchors" ]]; then
+  for t in semseg human_parts sal edge normals; do
+    echo "== single-task anchor: $t"
+    $PY -m m3vit_tpu.cli.train \
+        --config_exp "configs/pascal/resnet18/$t.yml" \
+        --run_name "stl_$t" 2>&1 | tee "/tmp/stl_$t.log"
+  done
+  echo "== stage 2 (anchors) DONE — results under $RUNS"
+fi
+
+# ---- stage 3: flagship run + file-protocol eval ----
+if [[ "${1:-}" == "--flagship" || "${2:-}" == "--flagship" ]]; then
+  echo "== flagship: ViT-small-MoE E16K4 5-task PASCAL (BASELINE.md row:"
+  echo "   M3ViT-Multi 72.8/14.5/62.1/66.3/71.7, Δm +2.71%)"
+  $PY -m m3vit_tpu.cli.train \
+      --config_exp configs/pascal/vit_moe_small_multi_task.yml \
+      --run_name flagship 2>&1 | tee /tmp/flagship.log
+  $PY -m m3vit_tpu.cli.train \
+      --config_exp configs/pascal/vit_moe_small_multi_task.yml \
+      --run_name flagship --eval --save_predictions \
+      --moe_eval_capacity_factor nodrop 2>&1 | tee /tmp/flagship_eval.log
+  echo "== compare the printed per-task metrics + Δm against BASELINE.md"
+fi

@@ -38,3 +38,15 @@ def test_create_config_builds(path, tmp_path):
     if os.path.basename(path) == "vit_moe_small_multi_task.yml":
         assert p.get("moe_capacity_factor") == 1.25
         assert p["moe_experts"] == 16
+
+
+@pytest.mark.parametrize("path", EXP_YML, ids=lambda p: os.path.relpath(p, REPO))
+def test_build_model_constructs(path, tmp_path):
+    """The factory must accept every checked-in experiment config (flax
+    modules are dataclasses — construction is cheap, no init)."""
+    from m3vit_tpu.config import create_config
+    from m3vit_tpu.models.factory import build_model
+
+    p = create_config(None, path, args={"root_dir": str(tmp_path)})
+    model = build_model(p)
+    assert model is not None

@@ -1,6 +1,7 @@
 """Token persistent-sharing variant tests."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -238,3 +239,72 @@ def test_reuse_cache_semantics():
 
     g = jax.grad(loss)(v["params"])
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+def test_share_pred_temperature_schedule():
+    """Schedule math matches the reference (common_config.py:927-957)."""
+    import math
+
+    from m3vit_tpu.train.optim import share_pred_temperature
+
+    assert share_pred_temperature({}, 0) is None
+    p = {"share_pred_temp_schedule": "cosine", "share_pred_temp_start": 1.5,
+         "share_pred_temp_end": 0.5, "share_pred_temp_warmup_epochs": 5,
+         "epochs": 100}
+    assert share_pred_temperature(p, 0) == 1.5
+    assert share_pred_temperature(p, 4) == 1.5  # warmup holds at start
+    assert share_pred_temperature(p, 99) == pytest.approx(0.5, abs=1e-9)
+    mid = share_pred_temperature(p, 52)  # progress = 0.5
+    assert mid == pytest.approx(0.5 + 0.5 * (1.5 - 0.5)
+                                * (1 + math.cos(math.pi * 47 / 94)), abs=1e-9)
+    p["share_pred_temp_schedule"] = "linear"
+    assert share_pred_temperature(p, 52) == pytest.approx(
+        1.5 + (0.5 - 1.5) * 47 / 94, abs=1e-9)
+    p["share_pred_temp_schedule"] = "bogus"
+    with pytest.raises(ValueError):
+        # (during warmup the reference returns t_start before validating the
+        # schedule name — common_config.py:945-946 — so probe past warmup)
+        share_pred_temperature(p, 52)
+
+
+def test_share_temp_argument_changes_training_forward():
+    """A traced temperature override must reach the gumbel softmax: extreme
+    temperatures produce different sharing decisions at train time, and the
+    same temperature matches the static default bitwise."""
+    backbone = tiny_token_backbone()
+    decoders = {
+        name: VisionTransformerUpHead(
+            img_size=(IMG, IMG), patch_size=16, embed_dim=64, num_classes=c,
+            dtype=jnp.float32,
+        )
+        for name, c in [("semseg", 5), ("edge", 1)]
+    }
+    model = TokenMultiTaskModel(
+        backbone=backbone, decoders=decoders, tasks=["semseg", "edge"]
+    )
+    x = jax.random.normal(jax.random.key(0), (1, IMG, IMG, 3))
+    variables = model.init(
+        {"params": jax.random.key(1), "gate_noise": jax.random.key(2)},
+        x, train=False,
+    )
+
+    def run(temp):
+        (pred, aux, _), _ = model.apply(
+            variables, x, train=True,
+            rngs={"gate_noise": jax.random.key(3)},
+            mutable=["batch_stats"],
+            share_temp=None if temp is None else jnp.float32(temp),
+        )
+        return pred, aux
+
+    p_default, _ = run(None)  # static temperature field (1.0)
+    p_same, _ = run(1.0)
+    p_hot, _ = run(100.0)
+    for t in p_default:
+        np.testing.assert_array_equal(np.asarray(p_default[t]),
+                                      np.asarray(p_same[t]))
+    diffs = sum(
+        float(np.abs(np.asarray(p_default[t]) - np.asarray(p_hot[t])).max())
+        for t in p_default
+    )
+    assert diffs > 0, "temperature had no effect on the training forward"
