@@ -150,6 +150,9 @@ def parse_args(argv=None):
     # mesh
     ap.add_argument("--n_data", type=int, default=1)
     ap.add_argument("--n_expert", type=int, default=None)
+    ap.add_argument("--n_seq", type=int, default=1,
+                    help="sequence-parallel mesh axis (Ulysses attention; "
+                         "num_heads must be divisible by it)")
     ap.add_argument("--multihost", action="store_true",
                     help="initialize jax.distributed (multi-host TPU pod; "
                          "the torchrun/slurm-launcher equivalent, reference "
@@ -234,13 +237,16 @@ class SyntheticLoader:
 
 def build_everything(args, p):
     n_chips = len(jax.devices())
+    n_seq = getattr(args, "n_seq", 1) or 1
     n_expert = args.n_expert if args.n_expert is not None else max(
-        n_chips // args.n_data, 1
+        n_chips // (args.n_data * n_seq), 1
     )
     mesh = None
-    if args.n_data * n_expert > 1:
-        mesh = make_mesh(args.n_data, n_expert)
+    if args.n_data * n_seq * n_expert > 1:
+        mesh = make_mesh(args.n_data, n_expert, n_seq=n_seq)
     model = build_model(p, mesh=mesh, expert_axis="expert" if mesh else None)
+    # 'seq' devices shard the token axis, not the batch: the global batch
+    # scales with the batch-sharding axes only (parallel.mesh.batch_sharding)
     return model, mesh, args.n_data * n_expert
 
 

@@ -53,6 +53,11 @@ class Attention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     dtype: Dtype = jnp.float32
+    # sequence parallelism: when `mesh` carries a 'seq' axis of size > 1 the
+    # O(N²) part runs token-sharded via Ulysses all_to_alls
+    # (parallel.seq_attention; SURVEY §5 — no reference analogue)
+    mesh: Any = None
+    seq_axis: str = "seq"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -72,11 +77,25 @@ class Attention(nn.Module):
         k = qkv[..., C:2 * C].reshape(B, N, self.num_heads, head_dim)
         v = qkv[..., 2 * C:].reshape(B, N, self.num_heads, head_dim)
 
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        if self.attn_drop > 0 and train:
-            attn = nn.Dropout(self.attn_drop, deterministic=False)(attn)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        from m3vit_tpu.parallel.seq_attention import (
+            seq_axis_size,
+            ulysses_attention,
+        )
+
+        if seq_axis_size(self.mesh, self.seq_axis) > 1 \
+                and not (self.attn_drop > 0 and train):
+            out = ulysses_attention(
+                q, k, v, mesh=self.mesh, seq_axis=self.seq_axis,
+                scale=scale, compute_dtype=self.dtype,
+            ).reshape(B, N, C)
+        else:
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+            attn = jax.nn.softmax(
+                attn.astype(jnp.float32), axis=-1
+            ).astype(self.dtype)
+            if self.attn_drop > 0 and train:
+                attn = nn.Dropout(self.attn_drop, deterministic=False)(attn)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
         out = nn.Dense(
             C, dtype=self.dtype, kernel_init=trunc_normal_init, name="proj"
         )(out)
@@ -134,6 +153,7 @@ class DenseBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path_rate: float = 0.0
     dtype: Dtype = jnp.float32
+    mesh: Any = None  # enables the 'seq'-axis attention path when present
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -145,7 +165,7 @@ class DenseBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         h = Attention(
             self.num_heads, self.qkv_bias, self.qk_scale, self.attn_drop,
-            self.drop, dtype=self.dtype, name="attn",
+            self.drop, dtype=self.dtype, mesh=self.mesh, name="attn",
         )(h.astype(self.dtype), train)
         x = x + drop_path(h, self.drop_path_rate, train, dp_rng1)
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)

@@ -403,7 +403,7 @@ class MoEMlp(nn.Module):
             ep = self.mesh.shape[self.expert_axis]
         n_shards = 1
         if ep > 1:
-            for ax in ("data", "expert"):
+            for ax in self.mesh.axis_names:  # matches moe_ffn token sharding
                 n_shards *= self.mesh.shape.get(ax, 1)
         cap = compute_capacity(T_all // n_shards, self.top_k, E, cf)
         ids = jax.lax.stop_gradient(top_idx).reshape(
@@ -502,7 +502,7 @@ class MoEBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         h = Attention(
             self.num_heads, self.qkv_bias, self.qk_scale, self.attn_drop,
-            self.drop, dtype=self.dtype, name="attn",
+            self.drop, dtype=self.dtype, mesh=self.mesh, name="attn",
         )(h.astype(self.dtype), train)
         x = x + drop_path(h, self.drop_path_rate, train, dp_rng1)
 
@@ -730,7 +730,8 @@ class VisionTransformerMoE(nn.Module):
                     num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                     qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                     drop=self.drop_rate, attn_drop=self.attn_drop_rate,
-                    drop_path_rate=dpr[i], dtype=self.dtype, name=f"block_{i}",
+                    drop_path_rate=dpr[i], dtype=self.dtype, mesh=self.mesh,
+                    name=f"block_{i}",
                 )(tokens, train)
             else:
                 tokens, cv, stats = moe_cls(

@@ -410,7 +410,7 @@ def moe_ffn(
     *,
     mesh=None,
     expert_axis: Optional[str] = None,
-    batch_axes=("data", "expert"),
+    batch_axes=None,
     capacity_factor: float = 2.0,
     activation: Callable = None,
     compute_dtype=jnp.bfloat16,
@@ -444,6 +444,11 @@ def moe_ffn(
         )
         return out.reshape(orig_shape)
 
+    # tokens are fully data-parallel in the MoE: shard them over EVERY mesh
+    # axis (incl. an optional 'seq' axis — parallel.seq_attention), so no
+    # axis recomputes the dispatch redundantly
+    if batch_axes is None:
+        batch_axes = tuple(mesh.axis_names)
     n_shards = 1
     for ax in batch_axes:
         n_shards *= mesh.shape.get(ax, 1)

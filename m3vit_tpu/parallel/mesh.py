@@ -27,13 +27,21 @@ EXPERT_PARAM_NAMES = ("experts_w1", "experts_b1", "experts_w2", "experts_b2")
 
 
 def make_mesh(
-    n_data: int = 1, n_expert: Optional[int] = None, devices=None
+    n_data: int = 1, n_expert: Optional[int] = None, devices=None,
+    n_seq: int = 1,
 ) -> Mesh:
+    """(data, expert) mesh; n_seq > 1 inserts a 'seq' axis between them
+    (('data', 'seq', 'expert')) for sequence-parallel attention
+    (parallel.seq_attention, SURVEY §5) — adjacent to 'expert' so both
+    all_to_all families ride ICI neighbours."""
     devices = devices if devices is not None else jax.devices()
     if n_expert is None:
-        n_expert = len(devices) // n_data
-    n = n_data * n_expert
+        n_expert = len(devices) // (n_data * n_seq)
+    n = n_data * n_seq * n_expert
     assert n <= len(devices), f"need {n} devices, have {len(devices)}"
+    if n_seq > 1:
+        arr = np.array(devices[:n]).reshape(n_data, n_seq, n_expert)
+        return Mesh(arr, ("data", "seq", "expert"))
     arr = np.array(devices[:n]).reshape(n_data, n_expert)
     return Mesh(arr, ("data", "expert"))
 
@@ -63,8 +71,10 @@ def param_shardings(params, mesh: Mesh) -> Any:
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Inputs sharded over all mesh axes on the batch dim."""
-    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    """Inputs sharded over the data-parallel mesh axes on the batch dim
+    ('seq' shards the token axis inside attention, never the batch)."""
+    axes = tuple(a for a in mesh.axis_names if a != "seq")
+    return NamedSharding(mesh, P(axes))
 
 
 def shard_train_state(state, mesh: Mesh):
