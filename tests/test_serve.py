@@ -1,0 +1,200 @@
+"""Serving layer: StableHLO export round-trip + bucketed AOT sessions.
+
+The reference has no deployment artifact story (inference re-imports the
+training code, train_fastmoe.py:714-735); these tests pin ours: exported
+artifacts reproduce the in-process forward exactly, survive
+serialize/deserialize, and the session pads/buckets without changing
+results.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m3vit_tpu.serve import (
+    InferenceSession,
+    export_single_task,
+    load_exported,
+    save_exported,
+)
+from tests.test_train_step import IMG, TASKS, build_tiny_model
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    model = build_tiny_model()
+    img = jnp.zeros((2, IMG, IMG, 3), jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, img, train=False)
+    return model, variables
+
+
+def _direct(model, variables, images, task):
+    pred, _, _ = model.apply(variables, images, train=False, single_task=task)
+    return np.asarray(pred[task])
+
+
+def test_export_roundtrip(tiny, tmp_path):
+    model, variables = tiny
+    images = jax.random.normal(jax.random.key(1), (2, IMG, IMG, 3))
+    exp = export_single_task(model, variables, "semseg", (IMG, IMG),
+                             batch_size=2)
+    path = str(tmp_path / "semseg.jaxexp")
+    save_exported(exp, path)
+    assert os.path.getsize(path) > 0
+    fn = load_exported(path)
+    out = np.asarray(jax.jit(fn)(variables, images))
+    ref = _direct(model, variables, images, "semseg")
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_export_frozen_weights(tiny, tmp_path):
+    model, variables = tiny
+    images = jax.random.normal(jax.random.key(2), (1, IMG, IMG, 3))
+    exp = export_single_task(model, variables, "edge", (IMG, IMG),
+                             batch_size=1, freeze=True)
+    path = str(tmp_path / "edge_frozen.jaxexp")
+    save_exported(exp, path)
+    fn = load_exported(path)
+    out = np.asarray(fn(images))  # weights baked in: image-only call
+    ref = _direct(model, variables, images, "edge")
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_export_symbolic_batch_dense():
+    """One artifact serves every batch size (dense backbone: the MoE's
+    static capacity pins its token count, so symbolic batch is a
+    dense-model feature)."""
+    from m3vit_tpu.models.heads import VisionTransformerUpHead
+    from m3vit_tpu.models.multitask import MultiTaskModel
+    from m3vit_tpu.models.vit import VisionTransformer
+
+    backbone = VisionTransformer(
+        img_size=(IMG, IMG), patch_size=16, embed_dim=64, depth=2,
+        num_heads=4, dtype=jnp.float32,
+    )
+    model = MultiTaskModel(
+        backbone=backbone,
+        decoders={"semseg": VisionTransformerUpHead(
+            img_size=(IMG, IMG), patch_size=16, embed_dim=64, num_classes=5,
+            dtype=jnp.float32)},
+        tasks=["semseg"],
+        backbone_returns_tuple=False,
+    )
+    img = jnp.zeros((1, IMG, IMG, 3), jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, img, train=False)
+
+    exp = export_single_task(model, variables, "semseg", (IMG, IMG),
+                             batch_size=None)
+    for B in (1, 3):
+        images = jax.random.normal(jax.random.key(B), (B, IMG, IMG, 3))
+        out = np.asarray(exp.call(variables, images))
+        ref = _direct(model, variables, images, "semseg")
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_session_bucketing(tiny):
+    model, variables = tiny
+    sess = InferenceSession(model, variables, tasks=["semseg", "edge"],
+                            img_size=(IMG, IMG), buckets=(1, 2, 4))
+    assert sess.bucket_for(3) == 4
+    assert sess.bucket_for(1) == 1
+    with pytest.raises(ValueError):
+        sess.bucket_for(5)
+
+    images = jax.random.normal(jax.random.key(3), (3, IMG, IMG, 3))
+    out = sess.predict(images, "semseg")
+    assert out.shape[0] == 3
+    ref = _direct(model, variables, images, "semseg")
+    np.testing.assert_allclose(out, ref[:3], rtol=1e-5, atol=1e-5)
+    # only the bucket that was needed got compiled
+    assert sess.compiled_keys == [("semseg", 4)]
+    with pytest.raises(ValueError):
+        sess.predict(images, "normals")
+
+
+def test_export_cli_roundtrip(tmp_path):
+    """config + orbax checkpoint -> .jaxexp artifact -> callable parity."""
+    import yaml
+
+    from m3vit_tpu.config import create_config
+    from m3vit_tpu.data.synthetic import synthetic_batch
+    from m3vit_tpu.models.factory import build_model
+    from m3vit_tpu.serve.export import main as export_main
+    from m3vit_tpu.train.optim import build_optimizer
+    from m3vit_tpu.train.state import create_train_state
+    from m3vit_tpu.utils.checkpoint import save_checkpoint
+
+    env = {"root_dir": str(tmp_path / "runs"), "dataset_roots": {}}
+    exp = {
+        "setup": "multi_task",
+        "train_db_name": "PASCALContext",
+        "val_db_name": "PASCALContext",
+        "train_scale": [IMG, IMG],
+        "test_scale": [IMG, IMG],
+        "trBatch": 1,
+        "epochs": 1,
+        "optimizer": "sgd",
+        "optimizer_kwargs": {"lr": 0.01, "momentum": 0.9},
+        "scheduler": "poly",
+        "model": "baseline",
+        "backbone": "VisionTransformer_moe",
+        "backbone_kwargs": {
+            "model_name": "tiny", "img_size": [IMG, IMG], "patch_size": 16,
+            "embed_dim": 64, "depth": 2, "num_heads": 4, "moe_mlp_ratio": 1,
+        },
+        "head": "VisionTransformerUpHead",
+        "head_kwargs": {"embed_dim": 64, "img_size": [IMG, IMG],
+                        "patch_size": 16},
+        "moe_experts": 4,
+        "moe_top_k": 2,
+        "multi_gate": True,
+        "compute_dtype": "float32",
+        "moe_capacity_factor": 8.0,
+        "task_dictionary": {
+            "include_semseg": True, "include_edge": True, "edge_w": 0.95,
+        },
+    }
+    env_file = str(tmp_path / "env.yml")
+    exp_file = str(tmp_path / "exp.yml")
+    open(env_file, "w").write(yaml.safe_dump(env))
+    open(exp_file, "w").write(yaml.safe_dump(exp))
+
+    p = create_config(env_file, exp_file, {})
+    model = build_model(p, mesh=None, expert_axis=None)
+    batch = synthetic_batch(jax.random.key(0), p["TASKS"], 1,
+                            tuple(p["test_scale"]))
+    tx = build_optimizer(p, steps_per_epoch=1)
+    state = create_train_state(model, jax.random.key(0), batch, tx)
+    ckp = str(tmp_path / "ckpt")
+    save_checkpoint(ckp, state, epoch=0)
+
+    out_dir = str(tmp_path / "artifacts")
+    export_main([
+        "--config_env", env_file, "--config_exp", exp_file,
+        "--ckp", ckp, "--out_dir", out_dir,
+        "--tasks", "semseg", "--freeze",
+    ])
+    fn = load_exported(os.path.join(out_dir, "semseg.jaxexp"))
+    images = jax.random.normal(jax.random.key(5), (1, IMG, IMG, 3))
+    out = np.asarray(fn(images))
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    ref = _direct(model, variables, images, "semseg")
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_session_warmup_compiles_all(tiny):
+    model, variables = tiny
+    sess = InferenceSession(model, variables, tasks=["edge"],
+                            img_size=(IMG, IMG), buckets=(1, 2))
+    sess.warmup()
+    assert sess.compiled_keys == [("edge", 1), ("edge", 2)]
+    # padded single-image request through the warm executable
+    images = jax.random.normal(jax.random.key(4), (1, IMG, IMG, 3))
+    out = sess.predict(images, "edge")
+    ref = _direct(model, variables, images, "edge")
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
