@@ -16,6 +16,9 @@ Example:
 from __future__ import annotations
 
 import argparse
+import itertools
+import os
+import signal
 import time
 from typing import Dict, Optional
 
@@ -174,6 +177,18 @@ def parse_args(argv=None):
     ap.add_argument("--ckp", default=None,
                     help="explicit checkpoint dir for --eval/--resume "
                          "(defaults to the run's checkpoint dir)")
+    # mid-epoch checkpointing (TPU-first extension: the reference resumes at
+    # epoch granularity only — SURVEY.md §5 "no mid-epoch checkpointing";
+    # on preemptible TPU pods step-granularity resume is table stakes)
+    ap.add_argument("--ckpt_every_steps", type=int, default=0,
+                    help="save a mid-epoch step checkpoint every N optimizer "
+                         "steps (0 = epoch granularity only); SIGTERM also "
+                         "triggers a step checkpoint at the next step "
+                         "boundary, then a clean exit (preemption-safe)")
+    ap.add_argument("--stop_after_steps", type=int, default=0,
+                    help="save a step checkpoint and exit after N global "
+                         "optimizer steps (preemption drill; used by the "
+                         "resume-equivalence test)")
     ap.add_argument("--dev_test", action="store_true",
                     help="run one eval before training")
     ap.add_argument("--save_predictions", action="store_true",
@@ -404,6 +419,8 @@ def run(args) -> Dict:
         print(f"loaded pretrained backbone from {args.pretrained}")
 
     start_epoch = 0
+    skip_iters = 0
+    step_ckpt_dir = os.path.join(p["output_dir"], "step_checkpoint")
     if args.resume or args.eval:
         ckpt_dir = args.ckp or p["checkpoint_dir"]
         restored, meta = restore_checkpoint(ckpt_dir, state)
@@ -413,6 +430,22 @@ def run(args) -> Dict:
             print(f"resumed from epoch {start_epoch - 1}")
         elif args.eval:
             raise FileNotFoundError(f"--eval needs a checkpoint in {ckpt_dir}")
+    if args.resume and not args.eval:
+        # step-granularity resume: prefer a mid-epoch checkpoint if it is
+        # newer than the last epoch checkpoint.  Exactness: the loader is
+        # deterministic in (seed, epoch) and the step rng is folded with
+        # state.step, so restarting at (epoch, next_it) replays the
+        # uninterrupted trajectory bit-for-bit (tests/test_step_resume.py).
+        s_restored, s_meta = restore_checkpoint(step_ckpt_dir, state)
+        if s_restored is not None:
+            s_epoch = int(s_meta["epoch"])
+            s_next = int(s_meta["next_it"])
+            if s_epoch * steps_per_epoch + s_next > start_epoch * steps_per_epoch:
+                state = s_restored
+                start_epoch, skip_iters = s_epoch, s_next
+                if skip_iters >= steps_per_epoch:
+                    start_epoch, skip_iters = start_epoch + 1, 0
+                print(f"resumed mid-epoch: epoch {s_epoch} iter {s_next}")
 
     if args.forward_hook:
         # layer I/O dump for cross-framework diffing (reference
@@ -534,6 +567,16 @@ def run(args) -> Dict:
     final10 = bool(p.get("eval_final_10_epochs_only", False))
     best: Optional[Dict] = None
     rng = jax.random.key(args.seed + 1)
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        # preemption notice: finish the in-flight step, checkpoint, exit
+        preempted["flag"] = True
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass  # not in the main thread (library embedding)
 
     for epoch in range(start_epoch, epochs):
         t_epoch = time.time()
@@ -541,6 +584,9 @@ def run(args) -> Dict:
         batches = train_loader.epoch(epoch)
         if bsh is not None:
             batches = device_put_batches(batches, bsh)
+        it0 = skip_iters if epoch == start_epoch else 0
+        if it0:
+            batches = itertools.islice(batches, it0, None)
         t_win = time.time()
         profiling = args.profile_dir and epoch == start_epoch
         if profiling:
@@ -553,7 +599,7 @@ def run(args) -> Dict:
             t = share_pred_temperature(p, epoch)
             share_temp = jnp.float32(t)
             print(f"[epoch {epoch}] share_pred temperature = {t:.4f}")
-        for it, batch in enumerate(batches):
+        for it, batch in enumerate(batches, start=it0):
             batch = {k: v for k, v in batch.items() if k != "meta"}
             if args.one_by_one:
                 grads_sum, merged_bs = None, {}
@@ -597,6 +643,22 @@ def run(args) -> Dict:
                           f"{drop:.3f} > {args.moe_drop_warn_threshold} — "
                           f"raise moe_capacity_factor (or use 'nodrop'); "
                           f"the reference's ragged dispatch never drops")
+            global_step = epoch * steps_per_epoch + it + 1
+            stop_now = preempted["flag"] or (
+                args.stop_after_steps and global_step >= args.stop_after_steps
+            )
+            periodic = (args.ckpt_every_steps
+                        and (it + 1) % args.ckpt_every_steps == 0
+                        and it + 1 < steps_per_epoch)
+            if periodic or stop_now:
+                save_checkpoint(step_ckpt_dir, state, global_step,
+                                {"epoch": epoch, "next_it": it + 1,
+                                 "mid_epoch": True})
+            if stop_now:
+                why = "SIGTERM" if preempted["flag"] else "--stop_after_steps"
+                print(f"[{why}] step checkpoint saved at epoch {epoch} "
+                      f"iter {it + 1} -> {step_ckpt_dir}; exiting")
+                return {"stopped_at_step": global_step}
         # epoch end: final loss sync
         loss = float(metrics["loss_total"])
         print(f"[epoch {epoch}] done in {time.time()-t_epoch:.1f}s "

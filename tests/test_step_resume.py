@@ -1,0 +1,118 @@
+"""Step-granularity (mid-epoch) checkpoint / resume.
+
+The reference resumes at epoch granularity only (SURVEY.md §5: "no mid-epoch
+checkpointing").  On preemptible TPU pods the trainer must checkpoint and
+resume at step granularity, and the resumed trajectory must be EXACTLY the
+uninterrupted one: the loader is deterministic in (seed, epoch) and the step
+rng is folded with state.step, so (epoch, next_it) fully determines the rest
+of the run.
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CFG = os.path.join(REPO, "configs", "smoke", "tiny_moe_synthetic.yml")
+ENV = os.path.join(REPO, "configs", "path_env.yml")
+
+
+def _args(save_dir, extra=()):
+    return [
+        "--config_env", ENV, "--config_exp", CFG,
+        "--synthetic", "4", "--epochs", "2", "--log_interval", "1",
+        "--save_dir", str(save_dir), "--n_expert", "1",
+        *extra,
+    ]
+
+
+def _losses(save_dir):
+    """metrics.jsonl -> {global_step: train/loss_total} (last record wins)."""
+    path = os.path.join(save_dir, "PASCALContext", "vit_tiny_test",
+                        "metrics.jsonl")
+    out = {}
+    for line in open(path):
+        r = json.loads(line)
+        if "train/loss_total" in r:
+            out[r["_step"]] = r["train/loss_total"]
+    return out
+
+
+def test_stop_resume_matches_uninterrupted(tmp_path):
+    from m3vit_tpu.cli.train import main
+
+    # run A: 2 epochs x 4 synthetic steps, uninterrupted
+    a_dir = tmp_path / "a"
+    main(_args(a_dir))
+    a = _losses(a_dir)
+    assert sorted(a) == list(range(8))
+
+    # run B: stop mid-epoch after 3 steps (checkpoint saved), then resume
+    b_dir = tmp_path / "b"
+    main(_args(b_dir, ["--stop_after_steps", "3", "--ckpt_every_steps", "2"]))
+    step_dir = os.path.join(b_dir, "PASCALContext", "vit_tiny_test",
+                            "step_checkpoint")
+    assert os.path.isdir(step_dir)
+    b_partial = _losses(b_dir)
+    assert sorted(b_partial) == [0, 1, 2]
+
+    main(_args(b_dir, ["--resume"]))
+    b = _losses(b_dir)
+    assert sorted(b) == list(range(8))
+
+    # exact trajectory equality: pre-stop steps trivially match (same seed);
+    # post-resume steps match only if the restored (params, opt state, step)
+    # and the replayed batches/rng are identical to the uninterrupted run
+    for s in range(8):
+        np.testing.assert_allclose(
+            b[s], a[s], rtol=0, atol=0,
+            err_msg=f"trajectory diverged at global step {s}")
+
+
+@pytest.mark.slow
+def test_sigterm_preemption_saves_and_resumes(tmp_path):
+    """Preemption drill: SIGTERM mid-training -> clean exit with a step
+    checkpoint; --resume continues from it."""
+    save_dir = tmp_path / "p"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "m3vit_tpu.cli.train",
+         *_args(save_dir, ["--epochs", "50"])],
+        cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    run_dir = os.path.join(save_dir, "PASCALContext", "vit_tiny_test")
+    jsonl = os.path.join(run_dir, "metrics.jsonl")
+    try:
+        deadline = time.time() + 300
+        # wait until at least one train step has logged, then preempt
+        while time.time() < deadline:
+            if os.path.isfile(jsonl) and any(
+                    "train/loss_total" in l for l in open(jsonl)):
+                break
+            if proc.poll() is not None:
+                pytest.fail(f"trainer died early:\n{proc.stdout.read()}")
+            time.sleep(1.0)
+        else:
+            pytest.fail("trainer never logged a step")
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=180)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
+    assert proc.returncode == 0, f"non-clean exit {proc.returncode}:\n{out}"
+    assert "[SIGTERM] step checkpoint saved" in out
+    assert os.path.isdir(os.path.join(run_dir, "step_checkpoint"))
+    # resume equivalence itself is covered (exactly) by
+    # test_stop_resume_matches_uninterrupted; here we proved the signal path
