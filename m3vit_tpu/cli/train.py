@@ -220,6 +220,13 @@ def parse_args(argv=None):
                          "the reference's sync-and-inspect debugging, "
                          "SURVEY.md §5)")
     ap.add_argument("--log_interval", type=int, default=25)
+    ap.add_argument("--platform", default=None,
+                    choices=[None, "cpu", "tpu"],
+                    help="force the jax backend (jax.config.update — the "
+                         "JAX_PLATFORMS env var is fixed by sitecustomize "
+                         "in some environments); combine with "
+                         "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                         "for a virtual CPU mesh")
     return ap.parse_args(argv)
 
 
@@ -266,6 +273,10 @@ def build_everything(args, p):
 
 
 def run(args) -> Dict:
+    if args.platform:
+        # must land before the first backend touch; the JAX_PLATFORMS env
+        # var is pinned by sitecustomize in relay environments
+        jax.config.update("jax_platforms", args.platform)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     if args.multihost:

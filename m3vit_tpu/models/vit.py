@@ -58,6 +58,10 @@ class Attention(nn.Module):
     # (parallel.seq_attention; SURVEY §5 — no reference analogue)
     mesh: Any = None
     seq_axis: str = "seq"
+    # fused Pallas flash attention (ops/flash_attention.py): None = auto
+    # (on for real-TPU backends when the shape qualifies); numerics match
+    # the naive path to bf16 rounding
+    use_flash: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -69,6 +73,37 @@ class Attention(nn.Module):
             C * 3, use_bias=self.qkv_bias, dtype=self.dtype,
             kernel_init=trunc_normal_init, name="qkv",
         )(x)
+
+        from m3vit_tpu.ops.flash_attention import (
+            flash_attention_qkv,
+            supported,
+            use_flash_default,
+        )
+        from m3vit_tpu.parallel.seq_attention import (
+            seq_axis_size,
+            ulysses_attention,
+        )
+
+        seq_par = seq_axis_size(self.mesh, self.seq_axis) > 1
+        drop_on = self.attn_drop > 0 and train
+        flash = self.use_flash if self.use_flash is not None \
+            else use_flash_default()
+        if flash and not seq_par and not drop_on \
+                and supported(self.num_heads, head_dim):
+            # fused Pallas kernels directly on the [B,N,3C] projection
+            # (interpret mode off-TPU so use_flash=True stays testable)
+            out = flash_attention_qkv(
+                qkv, self.num_heads, scale,
+                jax.default_backend() != "tpu",
+            )
+            out = nn.Dense(
+                C, dtype=self.dtype, kernel_init=trunc_normal_init,
+                name="proj",
+            )(out)
+            if self.proj_drop > 0 and train:
+                out = nn.Dropout(self.proj_drop, deterministic=False)(out)
+            return out
+
         # split as contiguous last-dim slices (identical layout to the torch
         # [q;k;v] fused weight, reference :293-296); the [B,N,3,H,hd]
         # reshape-and-index form made XLA materialize three strided
@@ -77,13 +112,7 @@ class Attention(nn.Module):
         k = qkv[..., C:2 * C].reshape(B, N, self.num_heads, head_dim)
         v = qkv[..., 2 * C:].reshape(B, N, self.num_heads, head_dim)
 
-        from m3vit_tpu.parallel.seq_attention import (
-            seq_axis_size,
-            ulysses_attention,
-        )
-
-        if seq_axis_size(self.mesh, self.seq_axis) > 1 \
-                and not (self.attn_drop > 0 and train):
+        if seq_par and not drop_on:
             out = ulysses_attention(
                 q, k, v, mesh=self.mesh, seq_axis=self.seq_axis,
                 scale=scale, compute_dtype=self.dtype,

@@ -43,6 +43,19 @@ def pad_to_multiple(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
 
 def _attend(q, k, v, scale, valid_len, compute_dtype):
     """Dense attention on [B, N, H, d] with key masking past valid_len."""
+    from m3vit_tpu.ops.flash_attention import (
+        flash_attention,
+        supported,
+        use_flash_default,
+    )
+
+    B, N, H, d = q.shape
+    # the fused kernel holds a q tile's full [128, N_pad] score rows in
+    # VMEM — right up to mid-range N; past that fall back to dense (a
+    # streaming kernel would take over in a true long-context regime)
+    if use_flash_default() and supported(H, d) and N <= 4096:
+        return flash_attention(q, k, v, scale,
+                               jax.default_backend() != "tpu", valid_len)
     attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
     attn = attn.astype(jnp.float32)
     npad = attn.shape[-1]

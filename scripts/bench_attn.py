@@ -161,6 +161,15 @@ def check():
         print(f"# grad[{'qkv'[i]}] max|diff| = {float(d):.2e}")
 
 
+def attn_block_ours(x, wqkv, wproj):
+    # the shipped kernel: fused qkv-layout Pallas flash
+    # (m3vit_tpu/ops/flash_attention.py) — no q/k/v splits at all
+    from m3vit_tpu.ops.flash_attention import flash_attention_qkv
+
+    qkv = x @ wqkv
+    return flash_attention_qkv(qkv, H, SCALE) @ wproj
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
@@ -168,6 +177,7 @@ def main():
     check()
     bench_block(attn_block_midsplit, args.iters, "block_midsplit")
     bench_block(attn_block_lastsplit, args.iters, "block_lastsplit")
+    bench_block(attn_block_ours, args.iters, "block_pallas_flash")
 
 
 if __name__ == "__main__":

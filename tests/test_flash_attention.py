@@ -1,0 +1,120 @@
+"""Fused Pallas flash attention vs the naive einsum oracle.
+
+Runs the kernels in interpret mode on the CPU backend; the same code
+compiles on TPU (validated by scripts/bench_attn.py and the flagship
+bench).  Numerics contract: scores/softmax in f32, probabilities cast to
+the compute dtype for the p·V matmul — identical to the naive path, so
+forward agreement is bf16-rounding-level and gradient agreement is exact
+up to f32 accumulation order.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m3vit_tpu.ops.flash_attention import (
+    flash_attention,
+    flash_attention_qkv,
+    supported,
+)
+
+
+def _naive(q, k, v, scale):
+    a = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+    a = jax.nn.softmax(a.astype(jnp.float32), -1).astype(q.dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", a, v)
+
+
+def _rand_qkv(B, N, H, D, dtype=jnp.bfloat16, seed=0):
+    ks = jax.random.split(jax.random.key(seed), 3)
+    return tuple(
+        jax.random.normal(k, (B, N, H, D), jnp.float32).astype(dtype)
+        for k in ks
+    )
+
+
+@pytest.mark.parametrize(
+    "B,N,H,D",
+    [
+        (2, 130, 2, 64),    # padded tail block (130 -> 256)
+        (1, 256, 4, 32),    # 4 heads per 128-lane group, no padding
+        (2, 1025, 2, 64),   # the flagship sequence length
+        (1, 100, 1, 128),   # single 128-wide head
+    ],
+)
+def test_matches_naive_fwd_and_grads(B, N, H, D):
+    assert supported(H, D)
+    scale = D ** -0.5
+    q, k, v = _rand_qkv(B, N, H, D)
+
+    ref = _naive(q, k, v, scale).astype(jnp.float32)
+    out = flash_attention(q, k, v, scale, True).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+    def loss(fn):
+        return lambda q, k, v: (fn(q, k, v).astype(jnp.float32) ** 2).mean()
+
+    ga = jax.grad(loss(lambda *a: _naive(*a, scale)), (0, 1, 2))(q, k, v)
+    gb = jax.grad(
+        loss(lambda *a: flash_attention(*a, scale, True)), (0, 1, 2)
+    )(q, k, v)
+    for name, x, y in zip("qkv", ga, gb):
+        np.testing.assert_allclose(
+            np.asarray(y, np.float32), np.asarray(x, np.float32),
+            atol=1e-4, err_msg=f"d{name}")
+
+
+def test_qkv_layout_matches_split_layout():
+    """flash_attention_qkv consumes the fused [B,N,3C] projection with
+    per-head column slices (the torch fused-weight layout, reference
+    ckpt/vision_transformer_moe.py:293-296)."""
+    B, N, H, D = 2, 70, 2, 64
+    C = H * D
+    scale = D ** -0.5
+    qkv = jax.random.normal(
+        jax.random.key(3), (B, N, 3 * C), jnp.float32).astype(jnp.bfloat16)
+    q = qkv[..., :C].reshape(B, N, H, D)
+    k = qkv[..., C:2 * C].reshape(B, N, H, D)
+    v = qkv[..., 2 * C:].reshape(B, N, H, D)
+    ref = _naive(q, k, v, scale).reshape(B, N, C).astype(jnp.float32)
+    out = flash_attention_qkv(qkv, H, scale, True).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+def test_valid_len_masks_padded_keys():
+    """valid_len masks caller-padded keys (the Ulysses padded-token case):
+    result rows [:valid] must equal attention over the unpadded inputs."""
+    B, N, H, D, valid = 1, 128, 2, 64, 100
+    scale = D ** -0.5
+    q, k, v = _rand_qkv(B, N, H, D, seed=5)
+    out = flash_attention(q, k, v, scale, True, valid)[:, :valid]
+    ref = _naive(q[:, :valid], k[:, :valid], v[:, :valid], scale)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2)
+
+
+def test_supported_predicate():
+    assert supported(6, 64)       # flagship ViT-small
+    assert supported(12, 64)      # ViT-base
+    assert not supported(3, 64)   # odd head count at d=64
+    assert not supported(4, 16)   # H*d = 64 < 128
+    assert not supported(2, 96)   # d not a lane-tiling divisor
+
+
+def test_attention_module_flash_equals_naive():
+    """The model's Attention with use_flash=True (interpret on CPU) must
+    match use_flash=False bit-for-bit at the module level (same params)."""
+    from m3vit_tpu.models.vit import Attention
+
+    B, N, C, H = 2, 70, 128, 2
+    x = jax.random.normal(
+        jax.random.key(1), (B, N, C), jnp.float32).astype(jnp.bfloat16)
+    naive_mod = Attention(num_heads=H, qkv_bias=True, dtype=jnp.bfloat16,
+                          use_flash=False)
+    flash_mod = Attention(num_heads=H, qkv_bias=True, dtype=jnp.bfloat16,
+                          use_flash=True)
+    params = naive_mod.init(jax.random.key(2), x)
+    a = naive_mod.apply(params, x).astype(jnp.float32)
+    b = flash_mod.apply(params, x).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-2)

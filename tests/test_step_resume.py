@@ -85,16 +85,20 @@ def test_sigterm_preemption_saves_and_resumes(tmp_path):
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=8")
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # persistent compile cache: the subprocess compiles the tiny train step
+    # from scratch; under full-suite CPU contention that can exceed the
+    # first-step deadline without one
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/m3vit_jax_cache_cpu"
     proc = subprocess.Popen(
         [sys.executable, "-m", "m3vit_tpu.cli.train",
-         *_args(save_dir, ["--epochs", "50"])],
+         *_args(save_dir, ["--epochs", "50", "--platform", "cpu"])],
         cwd=REPO, env=env,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
     run_dir = os.path.join(save_dir, "PASCALContext", "vit_tiny_test")
     jsonl = os.path.join(run_dir, "metrics.jsonl")
     try:
-        deadline = time.time() + 300
+        deadline = time.time() + 900
         # wait until at least one train step has logged, then preempt
         while time.time() < deadline:
             if os.path.isfile(jsonl) and any(
