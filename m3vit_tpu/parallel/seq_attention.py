@@ -41,8 +41,43 @@ def pad_to_multiple(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     return jnp.pad(x, widths)
 
 
+# above this local length the one-pass kernel's [128, N_pad] score rows
+# outgrow VMEM; the streaming (online-softmax) kernel takes over
+FUSED_KERNEL_MAX_N = 4096
+
+
+def _streaming_flash(q, k, v, scale, valid_len):
+    """Long-context path: jax's streaming TPU flash attention (online
+    softmax over K blocks — O(N) memory), with caller padding masked via
+    segment ids (pads form their own segment so no softmax row is fully
+    masked).  Loses to the fused one-pass kernel at N~1k but is the only
+    thing that scales when a sequence-parallel shard holds a long token
+    axis (dense would materialize [B, H/s, N, N])."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention as tpu_flash,
+    )
+
+    B, N, H, d = q.shape
+    npad = (N + 127) // 128 * 128
+    pad = npad - N
+
+    def to_bhnd(x):
+        x = jnp.swapaxes(x, 1, 2)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+    qp, kp, vp = (to_bhnd(x) for x in (q, k, v))
+    pos = jnp.arange(npad)
+    seg = jnp.broadcast_to(
+        jnp.where(pos < valid_len, 1, 2)[None, :], (B, npad)
+    ).astype(jnp.int32)
+    o = tpu_flash(qp, kp, vp, segment_ids=SegmentIds(seg, seg),
+                  sm_scale=scale)
+    return jnp.swapaxes(o[:, :, :N, :], 1, 2)
+
+
 def _attend(q, k, v, scale, valid_len, compute_dtype):
-    """Dense attention on [B, N, H, d] with key masking past valid_len."""
+    """Attention on [B, N, H, d] with key masking past valid_len."""
     from m3vit_tpu.ops.flash_attention import (
         flash_attention,
         supported,
@@ -50,12 +85,12 @@ def _attend(q, k, v, scale, valid_len, compute_dtype):
     )
 
     B, N, H, d = q.shape
-    # the fused kernel holds a q tile's full [128, N_pad] score rows in
-    # VMEM — right up to mid-range N; past that fall back to dense (a
-    # streaming kernel would take over in a true long-context regime)
-    if use_flash_default() and supported(H, d) and N <= 4096:
-        return flash_attention(q, k, v, scale,
-                               jax.default_backend() != "tpu", valid_len)
+    if use_flash_default() and supported(H, d):
+        if N <= FUSED_KERNEL_MAX_N:
+            return flash_attention(q, k, v, scale,
+                                   jax.default_backend() != "tpu", valid_len)
+        if d == 128 or d == 64:  # streaming kernel's supported head dims
+            return _streaming_flash(q, k, v, scale, valid_len)
     attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
     attn = attn.astype(jnp.float32)
     npad = attn.shape[-1]

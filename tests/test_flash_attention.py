@@ -102,6 +102,31 @@ def test_supported_predicate():
     assert not supported(2, 96)   # d not a lane-tiling divisor
 
 
+def test_streaming_flash_long_context_matches_dense(monkeypatch):
+    """Above FUSED_KERNEL_MAX_N the sequence-parallel local attention
+    switches to jax's streaming TPU flash kernel (online softmax, O(N)
+    memory) with caller padding masked via segment ids; results must match
+    the dense masked path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from m3vit_tpu.parallel import seq_attention as sa
+
+    B, N, H, D, valid = 1, 512, 2, 64, 475
+    scale = D ** -0.5
+    q, k, v = _rand_qkv(B, N, H, D, seed=7)
+
+    dense = sa._attend(q, k, v, scale, valid, jnp.bfloat16)  # cpu -> dense
+
+    monkeypatch.setenv("M3VIT_FLASH_ATTN", "force")
+    monkeypatch.setattr(sa, "FUSED_KERNEL_MAX_N", 128)
+    with pltpu.force_tpu_interpret_mode():
+        out = sa._streaming_flash(q, k, v, scale, valid)
+
+    np.testing.assert_allclose(
+        np.asarray(out[:, :valid], np.float32),
+        np.asarray(dense[:, :valid], np.float32), atol=2e-2)
+
+
 def test_attention_module_flash_equals_naive():
     """The model's Attention with use_flash=True (interpret on CPU) must
     match use_flash=False bit-for-bit at the module level (same params)."""
