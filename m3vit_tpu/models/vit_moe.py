@@ -197,6 +197,9 @@ class MoEMlp(nn.Module):
     patch_grid: Tuple[int, int] = (0, 0)  # true (h, w) grid for regu_subimage
     gate_type: str = "noisy_vmoe"  # 'noisy_vmoe' | 'noisy' (gates.py:195-280)
     use_pallas_ffn: bool = False  # fused expert-FFN kernel (ops/expert_ffn.py)
+    # weight-only int8 expert banks (serving: halves expert HBM/artifact
+    # bytes; inference-only — serve/quantize.py converts a float checkpoint)
+    expert_weights_int8: bool = False
 
     @nn.compact
     def __call__(
@@ -353,12 +356,29 @@ class MoEMlp(nn.Module):
             top_idx = jnp.where(m, sem_force_idx, top_idx)
             top_gates = jnp.where(m, 0.5, top_gates)
 
-        params = MoEFfnParams(
-            w1=self.param("experts_w1", _expert_kernel_init, (E, C, self.d_hidden)),
-            b1=self.param("experts_b1", nn.initializers.zeros, (E, self.d_hidden)),
-            w2=self.param("experts_w2", _expert_kernel_init, (E, self.d_hidden, C)),
-            b2=self.param("experts_b2", nn.initializers.zeros, (E, C)),
-        )
+        if self.expert_weights_int8:
+            from m3vit_tpu.moe.dispatch import MoEFfnParamsQ
+
+            params = MoEFfnParamsQ(
+                w1=self.param("experts_w1_q", nn.initializers.zeros,
+                              (E, C, self.d_hidden), jnp.int8),
+                b1=self.param("experts_b1", nn.initializers.zeros,
+                              (E, self.d_hidden)),
+                w2=self.param("experts_w2_q", nn.initializers.zeros,
+                              (E, self.d_hidden, C), jnp.int8),
+                b2=self.param("experts_b2", nn.initializers.zeros, (E, C)),
+                s1=self.param("experts_w1_scale", nn.initializers.ones,
+                              (E, self.d_hidden)),
+                s2=self.param("experts_w2_scale", nn.initializers.ones,
+                              (E, C)),
+            )
+        else:
+            params = MoEFfnParams(
+                w1=self.param("experts_w1", _expert_kernel_init, (E, C, self.d_hidden)),
+                b1=self.param("experts_b1", nn.initializers.zeros, (E, self.d_hidden)),
+                w2=self.param("experts_w2", _expert_kernel_init, (E, self.d_hidden, C)),
+                b2=self.param("experts_b2", nn.initializers.zeros, (E, C)),
+            )
 
         drop_rng = None
         if self.drop > 0 and train:
@@ -475,6 +495,7 @@ class MoEBlock(nn.Module):
     patch_grid: Tuple[int, int] = (0, 0)
     gate_type: str = "noisy_vmoe"
     use_pallas_ffn: bool = False
+    expert_weights_int8: bool = False
     # stacked multi-gate: task_id is a per-SAMPLE [B] vector (task-major
     # equal groups of cv_segments tasks); cv loss is computed per segment and
     # summed, matching the reference's one-backbone-pass-per-task loop
@@ -530,6 +551,7 @@ class MoEBlock(nn.Module):
             patch_grid=self.patch_grid,
             gate_type=self.gate_type,
             use_pallas_ffn=self.use_pallas_ffn,
+            expert_weights_int8=self.expert_weights_int8,
             name="mlp",
         )(h.astype(self.dtype), task_id, task_feature, train,
           expert_mask, sem_force_idx, sem_force_mask, gate_inp_tokens,
@@ -610,6 +632,7 @@ class VisionTransformerMoE(nn.Module):
     regu_subimage: bool = False
     moe_gate_type: str = "noisy_vmoe"
     use_pallas_ffn: bool = False
+    expert_weights_int8: bool = False
     # route with each MoE block's INPUT tokens instead of the post-norm2
     # stream (reference origin/vision_transformer_moe.py:276-277)
     gate_input_ahead: bool = False
@@ -757,6 +780,7 @@ class VisionTransformerMoE(nn.Module):
                                 self.img_size[1] // self.patch_size),
                     gate_type=self.moe_gate_type,
                     use_pallas_ffn=self.use_pallas_ffn,
+                    expert_weights_int8=self.expert_weights_int8,
                     cv_segments=n_stack,
                     name=f"block_{i}",
                 )(tokens, task_id, task_feature, train, expert_mask,

@@ -55,6 +55,33 @@ class MoEFfnParams(NamedTuple):
     b2: jnp.ndarray
 
 
+class MoEFfnParamsQ(NamedTuple):
+    """Weight-only int8-quantized expert weights (serving path).
+
+    w1/w2 are int8 with symmetric per-(expert, output-channel) scales
+    s1 [E, d_hidden] / s2 [E, d_model] (f32):  w = w_q * s.  Biases stay
+    float.  Inference-only — no VJP is defined for the quantized kernels.
+    """
+
+    w1: jnp.ndarray  # [E, d_model, d_hidden] int8
+    b1: jnp.ndarray
+    w2: jnp.ndarray  # [E, d_hidden, d_model] int8
+    b2: jnp.ndarray
+    s1: jnp.ndarray  # [E, d_hidden] f32
+    s2: jnp.ndarray  # [E, d_model] f32
+
+
+def dequantize_ffn_params(q: "MoEFfnParamsQ", dtype) -> MoEFfnParams:
+    """Materialize float expert weights from an int8 pack (XLA fallback
+    path; the Pallas q-kernel dequantizes in VMEM instead)."""
+    return MoEFfnParams(
+        w1=(q.w1.astype(jnp.float32) * q.s1[:, None, :]).astype(dtype),
+        b1=q.b1,
+        w2=(q.w2.astype(jnp.float32) * q.s2[:, None, :]).astype(dtype),
+        b2=q.b2,
+    )
+
+
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -282,6 +309,8 @@ def expert_ffn_dense(
         # torch nn.GELU default = exact erf gelu
         activation = functools.partial(jax.nn.gelu, approximate=False)
     cd = compute_dtype
+    if isinstance(params, MoEFfnParamsQ):
+        params = dequantize_ffn_params(params, cd)
     # full f32 compute means *really* f32: force the highest matmul precision
     # (XLA's default batched f32 dot is reduced-precision).  In bf16 mode the
     # GEMMs still write f32 (native MXU output path — bf16-out batched GEMMs
@@ -457,12 +486,22 @@ def moe_ffn(
     cap = compute_capacity(T_local, K, E, capacity_factor)
 
     token_spec = P(tuple(batch_axes))
-    param_spec = MoEFfnParams(
-        w1=P(expert_axis, None, None),
-        b1=P(expert_axis, None),
-        w2=P(expert_axis, None, None),
-        b2=P(expert_axis, None),
-    )
+    if isinstance(params, MoEFfnParamsQ):
+        param_spec = MoEFfnParamsQ(
+            w1=P(expert_axis, None, None),
+            b1=P(expert_axis, None),
+            w2=P(expert_axis, None, None),
+            b2=P(expert_axis, None),
+            s1=P(expert_axis, None),
+            s2=P(expert_axis, None),
+        )
+    else:
+        param_spec = MoEFfnParams(
+            w1=P(expert_axis, None, None),
+            b1=P(expert_axis, None),
+            w2=P(expert_axis, None, None),
+            b2=P(expert_axis, None),
+        )
 
     def body(xt, it, gt, params, rng):
         if rng is not None:

@@ -253,8 +253,77 @@ def _bwd(interpret, res, g):
 fused_expert_ffn.defvjp(_fwd, _bwd)
 
 
+def _ffn_q_kernel(h_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                  out_ref):
+    """Weight-only int8 variant: dequantize w1/w2 in VMEM (VPU convert +
+    per-output-channel scale), then the same MXU GEMM pair — HBM reads the
+    int8 weights (half the bf16 bytes), never a float copy."""
+    h = h_ref[0]  # [BC, d]
+    cd = h.dtype
+    w1 = (w1_ref[0].astype(jnp.float32) * s1_ref[0].astype(jnp.float32)
+          ).astype(cd)  # [d, H]
+    a = jnp.dot(h, w1, preferred_element_type=jnp.float32)
+    a = a + b1_ref[0].astype(jnp.float32)
+    a = 0.5 * a * (1.0 + _erf_approx(a / _SQRT2))
+    a = a.astype(cd)
+    w2 = (w2_ref[0].astype(jnp.float32) * s2_ref[0].astype(jnp.float32)
+          ).astype(cd)  # [H, d]
+    o = jnp.dot(a, w2, preferred_element_type=jnp.float32)
+    o = o + b2_ref[0].astype(jnp.float32)
+    out_ref[0] = o.astype(out_ref.dtype)
+
+
+def quantized_expert_ffn(h, qparams, *, interpret=False):
+    """Inference-only fused expert FFN on int8 weights (no VJP defined).
+
+    h: [E, C, d] compute-dtype; qparams: dispatch.MoEFfnParamsQ.
+    """
+    h, C_orig = _pad_tokens(h)
+    E, C, d = h.shape
+    H = qparams.w1.shape[-1]
+    bc = _pick_block(C)
+    grid = (E, C // bc)
+    b1 = qparams.b1.reshape(E, 1, H)
+    b2 = qparams.b2.reshape(E, 1, d)
+    s1 = qparams.s1.reshape(E, 1, H).astype(jnp.float32)
+    s2 = qparams.s2.reshape(E, 1, d).astype(jnp.float32)
+    out = pl.pallas_call(
+        _ffn_q_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bc, d), lambda e, c: (e, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, H), lambda e, c: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda e, c: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda e, c: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, d), lambda e, c: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda e, c: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda e, c: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bc, d), lambda e, c: (e, c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, C, d), h.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * E * C * d * H,
+            bytes_accessed=E * C * d * 2 * 2 + E * d * H * 2,
+            transcendentals=E * C * H,
+        ),
+        interpret=interpret,
+    )(h, qparams.w1, s1, b1, qparams.w2, s2, b2)
+    return out[:, :C_orig]
+
+
 def make_pallas_ffn_fn(interpret: bool = False):
-    """Adapter matching dispatch.expert_ffn_dense's signature (ffn_fn hook)."""
+    """Adapter matching dispatch.expert_ffn_dense's signature (ffn_fn hook).
+
+    Accepts float (MoEFfnParams) or int8 (MoEFfnParamsQ) expert weights;
+    the int8 path is inference-only."""
 
     def ffn(h, params, activation=None, compute_dtype=jnp.bfloat16,
             dropout_rate=0.0, dropout_rng=None):
@@ -266,6 +335,11 @@ def make_pallas_ffn_fn(interpret: bool = False):
             "route other activations through the einsum path"
         )
         cd = compute_dtype
+        from m3vit_tpu.moe.dispatch import MoEFfnParamsQ
+
+        if isinstance(params, MoEFfnParamsQ):
+            return quantized_expert_ffn(h.astype(cd), params,
+                                        interpret=interpret)
         return fused_expert_ffn(
             h.astype(cd), params.w1.astype(cd), params.b1, params.w2.astype(cd),
             params.b2, interpret,

@@ -120,7 +120,15 @@ def main(argv=None):
                     help="integer, or 'sym' for a symbolic batch dim")
     ap.add_argument("--freeze", action="store_true",
                     help="bake weights into the artifact")
+    ap.add_argument("--int8_experts", action="store_true",
+                    help="weight-only int8 quantization of the expert banks "
+                         "(halves artifact/HBM expert bytes; "
+                         "serve/quantize.py)")
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                    help="force the jax backend (see cli.train --platform)")
     args = ap.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     p = create_config(args.config_env, args.config_exp, {})
     model = build_model(p, mesh=None, expert_axis=None)
@@ -137,6 +145,18 @@ def main(argv=None):
     if restored.batch_stats:
         variables["batch_stats"] = restored.batch_stats
     print(f"restored epoch {meta.get('epoch')}")
+
+    if args.int8_experts:
+        from m3vit_tpu.serve.quantize import (
+            expert_quantization_error,
+            quantize_expert_tree,
+        )
+
+        err = expert_quantization_error(variables["params"])
+        variables["params"] = quantize_expert_tree(variables["params"])
+        p = dict(p) | {"expert_weights_int8": True}
+        model = build_model(p, mesh=None, expert_axis=None)
+        print(f"int8 experts: max relative dequant error {err:.4f}")
 
     tasks = args.tasks or list(p["TASK_NAMES"])
     bs = None if args.batch == "sym" else int(args.batch)
