@@ -109,6 +109,37 @@ def test_moe_ffn_quantized_path():
                                atol=1e-4 * np.abs(a).max())
 
 
+def test_inference_session_with_int8_model():
+    """Bucketed AOT serving on a quantized model: session output tracks the
+    float session within int8 drift (the serve deployment path)."""
+    import dataclasses
+
+    from m3vit_tpu.serve import InferenceSession
+    from tests.test_train_step import IMG, build_tiny_model
+
+    model = build_tiny_model()
+    variables = model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, IMG, IMG, 3), jnp.float32), train=False)
+    model_q = dataclasses.replace(
+        model,
+        backbone=dataclasses.replace(model.backbone,
+                                     expert_weights_int8=True))
+    vars_q = dict(variables) | {
+        "params": quantize_expert_tree(variables["params"])}
+
+    imgs = np.asarray(
+        jax.random.normal(jax.random.key(2), (1, IMG, IMG, 3)), np.float32)
+    sess = InferenceSession(model, variables, ["semseg"], (IMG, IMG),
+                            buckets=(1,))
+    sess_q = InferenceSession(model_q, vars_q, ["semseg"], (IMG, IMG),
+                              buckets=(1,))
+    a = sess.predict(imgs, "semseg")
+    b = sess_q.predict(imgs, "semseg")
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
 def test_model_int8_conversion_end_to_end():
     """Float backbone forward vs expert_weights_int8 model on the converted
     tree: identical routing, bounded output drift."""
