@@ -31,7 +31,12 @@ def main():
     ap.add_argument("--requests", type=int, default=50)
     ap.add_argument("--buckets", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--task", default="semseg")
+    ap.add_argument("--int8", action="store_true",
+                    help="weight-only int8 expert banks (serve/quantize.py)")
+    ap.add_argument("--no_flash", action="store_true")
     args = ap.parse_args()
+    if args.no_flash:
+        os.environ["M3VIT_FLASH_ATTN"] = "0"
 
     from __graft_entry__ import build_flagship
     from m3vit_tpu.serve import InferenceSession
@@ -41,6 +46,18 @@ def main():
     variables = jax.jit(
         lambda r: model.init({"params": r}, img, train=False)
     )(jax.random.key(0))
+
+    if args.int8:
+        import dataclasses
+
+        from m3vit_tpu.serve.quantize import quantize_expert_tree
+
+        model = dataclasses.replace(
+            model,
+            backbone=dataclasses.replace(model.backbone,
+                                         expert_weights_int8=True))
+        variables = dict(variables) | {
+            "params": quantize_expert_tree(variables["params"])}
 
     sess = InferenceSession(
         model, variables, tasks=[t.name for t in tasks],
