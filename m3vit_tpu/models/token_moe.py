@@ -536,12 +536,13 @@ class TokenMultiTaskModel(nn.Module):
     tasks: Any
 
     def __call__(self, x, train: bool = False, single_task=None,
-                 share_temp=None):
+                 share_temp=None, reuse_bits=None):
         from m3vit_tpu.models.heads import resize_bilinear
 
         out_size = x.shape[1:3]
         streams, aux, stats = self.backbone(x, train=train,
-                                            share_temp=share_temp)
+                                            share_temp=share_temp,
+                                            reuse_bits=reuse_bits)
         out = {}
         names = [single_task] if single_task is not None else list(self.tasks)
         for task in names:
