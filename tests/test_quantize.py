@@ -109,6 +109,26 @@ def test_moe_ffn_quantized_path():
                                atol=1e-4 * np.abs(a).max())
 
 
+def test_expert_parallel_quantized(mesh8):
+    """int8 expert banks shard over the expert axis exactly like float ones
+    (MoEFfnParamsQ param_spec in moe_ffn's shard_map): EP == local."""
+    rng = np.random.default_rng(6)
+    B, N, d, h, E, K = 8, 16, 32, 24, 8, 2
+    fp, qp = _qparams(rng, E, d, h)
+    x = jnp.asarray(rng.normal(size=(B, N, d)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, E, size=(B, N, K)).astype(np.int32))
+    gates = jnp.asarray(rng.random(size=(B, N, K)).astype(np.float32))
+
+    local = moe_ffn(x, idx, gates, qp, capacity_factor=float(E),
+                    compute_dtype=jnp.float32)
+    ep = jax.jit(lambda xx: moe_ffn(
+        xx, idx, gates, qp,
+        mesh=mesh8, expert_axis="expert", batch_axes=("data", "expert"),
+        capacity_factor=float(E), compute_dtype=jnp.float32,
+    ))(x)
+    np.testing.assert_allclose(np.asarray(ep), np.asarray(local), atol=1e-4)
+
+
 def test_inference_session_with_int8_model():
     """Bucketed AOT serving on a quantized model: session output tracks the
     float session within int8 drift (the serve deployment path)."""
