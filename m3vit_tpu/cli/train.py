@@ -441,12 +441,16 @@ def run(args) -> Dict:
             print(f"resumed from epoch {start_epoch - 1}")
         elif args.eval:
             raise FileNotFoundError(f"--eval needs a checkpoint in {ckpt_dir}")
-    if args.resume and not args.eval:
-        # step-granularity resume: prefer a mid-epoch checkpoint if it is
-        # newer than the last epoch checkpoint.  Exactness: the loader is
-        # deterministic in (seed, epoch) and the step rng is folded with
-        # state.step, so restarting at (epoch, next_it) replays the
-        # uninterrupted trajectory bit-for-bit (tests/test_step_resume.py).
+    if args.resume and not args.eval and args.ckp is None:
+        # step-granularity resume: prefer the run's own mid-epoch checkpoint
+        # when it is newer than the last epoch checkpoint (an explicit --ckp
+        # always wins — the user asked for THAT state).  Exactness: the
+        # loader is deterministic in (seed, epoch) and the step rng is
+        # folded with state.step, so restarting at (epoch, next_it) replays
+        # the uninterrupted trajectory bit-for-bit
+        # (tests/test_step_resume.py).  skip_iters == steps_per_epoch means
+        # the epoch's steps all ran but its end-of-epoch eval/checkpoint did
+        # not: re-enter that epoch with zero iterations so they still do.
         s_restored, s_meta = restore_checkpoint(step_ckpt_dir, state)
         if s_restored is not None:
             s_epoch = int(s_meta["epoch"])
@@ -454,8 +458,6 @@ def run(args) -> Dict:
             if s_epoch * steps_per_epoch + s_next > start_epoch * steps_per_epoch:
                 state = s_restored
                 start_epoch, skip_iters = s_epoch, s_next
-                if skip_iters >= steps_per_epoch:
-                    start_epoch, skip_iters = start_epoch + 1, 0
                 print(f"resumed mid-epoch: epoch {s_epoch} iter {s_next}")
 
     if args.forward_hook:
@@ -593,11 +595,13 @@ def run(args) -> Dict:
         t_epoch = time.time()
         seen = 0
         batches = train_loader.epoch(epoch)
-        if bsh is not None:
-            batches = device_put_batches(batches, bsh)
         it0 = skip_iters if epoch == start_epoch else 0
         if it0:
+            # skip BEFORE device_put so fast-forwarded batches are never
+            # transferred host->device
             batches = itertools.islice(batches, it0, None)
+        if bsh is not None:
+            batches = device_put_batches(batches, bsh)
         t_win = time.time()
         profiling = args.profile_dir and epoch == start_epoch
         if profiling:
@@ -670,10 +674,13 @@ def run(args) -> Dict:
                 print(f"[{why}] step checkpoint saved at epoch {epoch} "
                       f"iter {it + 1} -> {step_ckpt_dir}; exiting")
                 return {"stopped_at_step": global_step}
-        # epoch end: final loss sync
-        loss = float(metrics["loss_total"])
-        print(f"[epoch {epoch}] done in {time.time()-t_epoch:.1f}s "
-              f"loss={loss:.4f}")
+        # epoch end: final loss sync (a fully-trained resumed epoch —
+        # skip_iters == steps_per_epoch — runs zero iterations here and goes
+        # straight to its pending eval/checkpoint)
+        if it0 < steps_per_epoch:
+            loss = float(metrics["loss_total"])
+            print(f"[epoch {epoch}] done in {time.time()-t_epoch:.1f}s "
+                  f"loss={loss:.4f}")
 
         # reference policy (train_fastmoe.py:643-657): eval every
         # eval_interval epochs; with eval_final_10_epochs_only, only within

@@ -76,6 +76,7 @@ class Attention(nn.Module):
 
         from m3vit_tpu.ops.flash_attention import (
             flash_attention_qkv,
+            interpret_default,
             supported,
             use_flash_default,
         )
@@ -93,38 +94,31 @@ class Attention(nn.Module):
             # fused Pallas kernels directly on the [B,N,3C] projection
             # (interpret mode off-TPU so use_flash=True stays testable)
             out = flash_attention_qkv(
-                qkv, self.num_heads, scale,
-                jax.default_backend() != "tpu",
+                qkv, self.num_heads, scale, interpret_default(),
             )
-            out = nn.Dense(
-                C, dtype=self.dtype, kernel_init=trunc_normal_init,
-                name="proj",
-            )(out)
-            if self.proj_drop > 0 and train:
-                out = nn.Dropout(self.proj_drop, deterministic=False)(out)
-            return out
-
-        # split as contiguous last-dim slices (identical layout to the torch
-        # [q;k;v] fused weight, reference :293-296); the [B,N,3,H,hd]
-        # reshape-and-index form made XLA materialize three strided
-        # [B,N,1,H,hd] copies per attention in the full train graph
-        q = qkv[..., :C].reshape(B, N, self.num_heads, head_dim)
-        k = qkv[..., C:2 * C].reshape(B, N, self.num_heads, head_dim)
-        v = qkv[..., 2 * C:].reshape(B, N, self.num_heads, head_dim)
-
-        if seq_par and not drop_on:
-            out = ulysses_attention(
-                q, k, v, mesh=self.mesh, seq_axis=self.seq_axis,
-                scale=scale, compute_dtype=self.dtype,
-            ).reshape(B, N, C)
         else:
-            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
-            attn = jax.nn.softmax(
-                attn.astype(jnp.float32), axis=-1
-            ).astype(self.dtype)
-            if self.attn_drop > 0 and train:
-                attn = nn.Dropout(self.attn_drop, deterministic=False)(attn)
-            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+            # split as contiguous last-dim slices (identical layout to the
+            # torch [q;k;v] fused weight, reference :293-296); the
+            # [B,N,3,H,hd] reshape-and-index form made XLA materialize three
+            # strided [B,N,1,H,hd] copies per attention in the train graph
+            q = qkv[..., :C].reshape(B, N, self.num_heads, head_dim)
+            k = qkv[..., C:2 * C].reshape(B, N, self.num_heads, head_dim)
+            v = qkv[..., 2 * C:].reshape(B, N, self.num_heads, head_dim)
+
+            if seq_par and not drop_on:
+                out = ulysses_attention(
+                    q, k, v, mesh=self.mesh, seq_axis=self.seq_axis,
+                    scale=scale, compute_dtype=self.dtype,
+                ).reshape(B, N, C)
+            else:
+                attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+                attn = jax.nn.softmax(
+                    attn.astype(jnp.float32), axis=-1
+                ).astype(self.dtype)
+                if self.attn_drop > 0 and train:
+                    attn = nn.Dropout(self.attn_drop,
+                                      deterministic=False)(attn)
+                out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
         out = nn.Dense(
             C, dtype=self.dtype, kernel_init=trunc_normal_init, name="proj"
         )(out)

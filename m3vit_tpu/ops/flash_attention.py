@@ -280,6 +280,18 @@ def flash_attention(q, k, v, scale: float, interpret: bool = False,
         qkv, H, scale, interpret, valid_len).reshape(B, N, H, d)
 
 
+def tpu_backend() -> bool:
+    """True on real TPU hardware (incl. the relay's 'axon' platform name —
+    same convention as ops.expert_ffn.pallas_expert_ffn_available)."""
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def interpret_default() -> bool:
+    """interpret-mode default for kernel call sites: compiled on TPU
+    backends, interpreter elsewhere (keeps use_flash=True CPU-testable)."""
+    return not tpu_backend()
+
+
 def use_flash_default() -> bool:
     """Auto policy: compiled Pallas needs a real TPU backend.
 
@@ -293,4 +305,4 @@ def use_flash_default() -> bool:
         return False
     if v == "force":
         return True
-    return jax.default_backend() == "tpu"
+    return tpu_backend()

@@ -53,10 +53,13 @@ def _streaming_flash(q, k, v, scale, valid_len):
     masked).  Loses to the fused one-pass kernel at N~1k but is the only
     thing that scales when a sequence-parallel shard holds a long token
     axis (dense would materialize [B, H/s, N, N])."""
+    from jax.experimental.pallas import tpu as pltpu
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         SegmentIds,
         flash_attention as tpu_flash,
     )
+
+    from m3vit_tpu.ops.flash_attention import tpu_backend
 
     B, N, H, d = q.shape
     npad = (N + 127) // 128 * 128
@@ -71,8 +74,16 @@ def _streaming_flash(q, k, v, scale, valid_len):
     seg = jnp.broadcast_to(
         jnp.where(pos < valid_len, 1, 2)[None, :], (B, npad)
     ).astype(jnp.int32)
-    o = tpu_flash(qp, kp, vp, segment_ids=SegmentIds(seg, seg),
-                  sm_scale=scale)
+
+    def run():
+        return tpu_flash(qp, kp, vp, segment_ids=SegmentIds(seg, seg),
+                         sm_scale=scale)
+
+    if tpu_backend():
+        o = run()
+    else:  # M3VIT_FLASH_ATTN=force off-TPU: interpreter, not Mosaic
+        with pltpu.force_tpu_interpret_mode():
+            o = run()
     return jnp.swapaxes(o[:, :, :N, :], 1, 2)
 
 
@@ -80,6 +91,7 @@ def _attend(q, k, v, scale, valid_len, compute_dtype):
     """Attention on [B, N, H, d] with key masking past valid_len."""
     from m3vit_tpu.ops.flash_attention import (
         flash_attention,
+        interpret_default,
         supported,
         use_flash_default,
     )
@@ -87,8 +99,8 @@ def _attend(q, k, v, scale, valid_len, compute_dtype):
     B, N, H, d = q.shape
     if use_flash_default() and supported(H, d):
         if N <= FUSED_KERNEL_MAX_N:
-            return flash_attention(q, k, v, scale,
-                                   jax.default_backend() != "tpu", valid_len)
+            return flash_attention(q, k, v, scale, interpret_default(),
+                                   valid_len)
         if d == 128 or d == 64:  # streaming kernel's supported head dims
             return _streaming_flash(q, k, v, scale, valid_len)
     attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale

@@ -147,13 +147,10 @@ def main(argv=None):
     print(f"restored epoch {meta.get('epoch')}")
 
     if args.int8_experts:
-        from m3vit_tpu.serve.quantize import (
-            expert_quantization_error,
-            quantize_expert_tree,
-        )
+        from m3vit_tpu.serve.quantize import quantize_expert_tree
 
-        err = expert_quantization_error(variables["params"])
-        variables["params"] = quantize_expert_tree(variables["params"])
+        variables["params"], err = quantize_expert_tree(
+            variables["params"], with_error=True)
         p = dict(p) | {"expert_weights_int8": True}
         model = build_model(p, mesh=None, expert_axis=None)
         print(f"int8 experts: max relative dequant error {err:.4f}")

@@ -39,11 +39,15 @@ def dequantize_weight(q: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     return q.astype(jnp.float32) * scale[:, None, :]
 
 
-def quantize_expert_tree(params):
+def quantize_expert_tree(params, with_error: bool = False):
     """Replace every `experts_w1`/`experts_w2` leaf with its int8 + scale
-    pair, recursively; returns a new tree (biases/gates/etc unchanged)."""
+    pair, recursively; returns a new tree (biases/gates/etc unchanged).
+    with_error=True also returns the max relative dequantization error
+    (computed from the same single quantization pass)."""
+    worst = 0.0
 
     def walk(node):
+        nonlocal worst
         if not isinstance(node, Mapping):
             return node
         out = {}
@@ -52,11 +56,18 @@ def quantize_expert_tree(params):
                 q, s = quantize_weight(v)
                 out[k + "_q"] = q
                 out[k + "_scale"] = s
+                if with_error:
+                    deq = np.asarray(dequantize_weight(q, s))
+                    w = np.asarray(v, np.float32)
+                    denom = np.abs(w).max() or 1.0
+                    worst = max(worst,
+                                float(np.abs(deq - w).max() / denom))
             else:
                 out[k] = walk(v)
         return out
 
-    return walk(params)
+    tree = walk(params)
+    return (tree, worst) if with_error else tree
 
 
 def expert_quantization_error(params) -> float:

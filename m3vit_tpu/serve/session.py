@@ -100,6 +100,15 @@ class InferenceSession:
 
         Pads to the nearest bucket, runs the AOT executable, returns the
         first N rows as numpy.
+
+        Padding replicates the real images cyclically rather than using
+        zeros: for MoE models the pad images join expert routing, and a
+        bucket full of identical all-zero images would flood a few experts
+        and could overflow their capacity (dropping REAL tokens).  Cyclic
+        real padding routes like a legitimate full batch — the load the
+        bucket was sized for.  For bit-stable MoE serving regardless of
+        batch composition, export/serve with
+        `moe_eval_capacity_factor: nodrop`.
         """
         if task not in self.tasks:
             raise ValueError(f"unknown task {task!r}; have {self.tasks}")
@@ -107,7 +116,7 @@ class InferenceSession:
         n = images.shape[0]
         b = self.bucket_for(n)
         if b != n:
-            pad = jnp.zeros((b - n,) + images.shape[1:], images.dtype)
-            images = jnp.concatenate([images, pad], axis=0)
+            reps = -(-b // n)  # ceil
+            images = jnp.tile(images, (reps, 1, 1, 1))[:b]
         out = self._compile(task, b)(self.variables, images)
         return np.asarray(out)[:n]

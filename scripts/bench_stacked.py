@@ -11,7 +11,11 @@ Usage: python scripts/bench_stacked.py [--batch 8] [--steps 10]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

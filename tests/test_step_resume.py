@@ -75,6 +75,36 @@ def test_stop_resume_matches_uninterrupted(tmp_path):
             err_msg=f"trajectory diverged at global step {s}")
 
 
+def test_stop_at_epoch_boundary_runs_pending_epoch_end(tmp_path):
+    """Preemption on an epoch's LAST step (next_it == steps_per_epoch):
+    resume must still run that epoch's eval + epoch checkpoint before
+    moving on (review finding: these were silently skipped)."""
+    from m3vit_tpu.cli.train import main
+
+    d = tmp_path / "b"
+    main(_args(d, ["--stop_after_steps", "4"]))  # exactly epoch 0's 4 steps
+    run_dir = os.path.join(d, "PASCALContext", "vit_tiny_test")
+    assert not os.path.isdir(os.path.join(run_dir, "checkpoint"))
+
+    main(_args(d, ["--resume"]))
+    # epoch-0 eval happened on resume...
+    recs = [json.loads(l) for l in open(os.path.join(run_dir,
+                                                     "metrics.jsonl"))]
+    val_epochs = {r["val/epoch"] for r in recs if "val/epoch" in r}
+    assert {0, 1} <= val_epochs
+    # ...and both epoch checkpoints exist
+    from m3vit_tpu.utils.checkpoint import latest_epoch
+
+    assert latest_epoch(os.path.join(run_dir, "checkpoint")) == 1
+    # trajectory equals the uninterrupted run
+    a_dir = tmp_path / "a"
+    main(_args(a_dir))
+    a, b = _losses(a_dir), _losses(d)
+    assert sorted(b) == sorted(a)
+    for s in a:
+        np.testing.assert_allclose(b[s], a[s], rtol=0, atol=0)
+
+
 @pytest.mark.slow
 def test_sigterm_preemption_saves_and_resumes(tmp_path):
     """Preemption drill: SIGTERM mid-training -> clean exit with a step
