@@ -37,13 +37,18 @@ def test_native_thin_speed():
     img = np.zeros((512, 512), bool)
     img[::7] = True
     img[:, ::11] = True
-    t0 = time.perf_counter()
-    native.thin(img.copy())
-    native_t = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    zhang_suen_thin(img.copy())
-    python_t = time.perf_counter() - t0
-    assert native_t < python_t  # typically 10-100x faster
+
+    def best_of(fn, n=3):
+        # min-of-n: timing under full-suite CPU contention is noisy and a
+        # single descheduled run flipped this assert once
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn(img.copy())
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    assert best_of(native.thin) < best_of(zhang_suen_thin)  # typically 10-100x
 
 
 @pytest.mark.skipif(not native.native_available(), reason="no g++ toolchain")
