@@ -147,6 +147,11 @@ def parse_args(argv=None):
     ap.add_argument("--use_cv_loss", action="store_true", default=None)
     ap.add_argument("--no_pallas_ffn", action="store_true",
                     help="disable the fused Pallas expert-FFN kernel")
+    ap.add_argument("--scan_blocks", action="store_true",
+                    help="lax.scan over (dense, MoE) block pairs: one "
+                         "compiled pair program instead of depth/2 inlined "
+                         "copies (params in the stacked blocks_scan layout; "
+                         "convert checkpoints with utils.scan_params)")
     ap.add_argument("--use_checkpointing", action="store_true", default=None)
     ap.add_argument("--compute_dtype", default=None,
                     choices=[None, "bfloat16", "float32"])
@@ -314,6 +319,8 @@ def run(args) -> Dict:
             overrides[k] = getattr(args, k)
     if args.no_pallas_ffn:
         overrides["use_pallas_ffn"] = False
+    if args.scan_blocks:
+        overrides["scan_blocks"] = True
     if args.stacked_tasks:
         overrides["stacked_tasks"] = True
     if args.remat_heads:

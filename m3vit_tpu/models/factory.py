@@ -80,6 +80,7 @@ def build_backbone(p, mesh=None, expert_axis: Optional[str] = "expert"):
             moe_gate_type=str(p.get("moe_gate_type", "noisy_vmoe")),
             use_pallas_ffn=bool(p.get("use_pallas_ffn", True)),
             expert_weights_int8=bool(p.get("expert_weights_int8", False)),
+            scan_blocks=bool(p.get("scan_blocks", False)),
             # research knobs (reference train_fastmoe.py:107-155 CLI flags)
             expert_prune=bool(p.get("expert_prune", False)),
             prune_threshold=float(p.get("prune_threshold", 0.1)),

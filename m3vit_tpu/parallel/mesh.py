@@ -54,11 +54,21 @@ def _is_expert_param(path) -> bool:
     return False
 
 
+def _leaf_spec(path) -> P:
+    """Spec for one param/opt-state leaf: expert banks sharded over 'expert'
+    on the expert dim, everything else replicated.  Under scan_blocks
+    (models.vit_moe) expert params carry a leading [depth/2] stacked-layer
+    axis ('blocks_scan' scope), so the expert dim moves to position 1."""
+    if not _is_expert_param(path):
+        return P()
+    scanned = any(getattr(e, "key", None) == "blocks_scan" for e in path)
+    return P(None, "expert") if scanned else P("expert")
+
+
 def param_spec_tree(params) -> Any:
     """PartitionSpec pytree for a params pytree: experts sharded, rest replicated."""
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: P("expert") if _is_expert_param(path) else P(),
-        params,
+        lambda path, leaf: _leaf_spec(path), params,
     )
 
 
@@ -83,8 +93,7 @@ def shard_train_state(state, mesh: Mesh):
     state = state.replace(params=jax.device_put(state.params, p_sh))
 
     def opt_leaf_sharding(path, leaf):
-        spec = P("expert") if _is_expert_param(path) else P()
-        return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, _leaf_spec(path))
 
     opt_sh = jax.tree_util.tree_map_with_path(opt_leaf_sharding, state.opt_state)
     state = state.replace(opt_state=jax.device_put(state.opt_state, opt_sh))

@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--flash", default="1")
     ap.add_argument("--cache", action="store_true",
                     help="enable the persistent compile cache")
+    ap.add_argument("--scan_blocks", action="store_true",
+                    help="scan over block pairs (one kernel instance per "
+                         "pair program instead of depth/2)")
     args = ap.parse_args()
     os.environ["M3VIT_FLASH_ATTN"] = args.flash
     if args.cache:
@@ -46,6 +49,7 @@ def main():
     model, tasks = build_flagship(
         depth=args.depth, tasks=tasks, dtype=jnp.bfloat16,
         use_checkpointing=False, capacity_factor=1.25,
+        scan_blocks=args.scan_blocks,
     )
     batch = synthetic_batch(jax.random.key(0), tasks, 8, (512, 512))
     p = {"optimizer": "sgd",
@@ -68,10 +72,10 @@ def main():
         state, metrics = step(state, batch, jax.random.key(2))
     float(metrics["loss_total"])
     dt = (time.perf_counter() - t0) / 5
-    n_attn = args.depth * args.tasks
+    n_attn = (2 if args.scan_blocks else args.depth) * args.tasks
     print(f"depth={args.depth} tasks={args.tasks} flash={args.flash} "
-          f"attn_instances={n_attn}: compile {t_compile:.1f}s, "
-          f"step {dt*1e3:.1f} ms")
+          f"scan={args.scan_blocks} attn_instances={n_attn}: "
+          f"compile {t_compile:.1f}s, step {dt*1e3:.1f} ms")
 
 
 if __name__ == "__main__":
