@@ -57,6 +57,10 @@ def parse_args(argv=None):
     ap.add_argument("--stacked_tasks", action="store_true",
                     help="fuse the per-task multi-gate backbone passes into "
                          "one [T*B] pass (TPU-first; same params/metrics)")
+    ap.add_argument("--scan_tasks", action="store_true",
+                    help="lax.scan the per-task multi-gate backbone passes "
+                         "(one compiled backbone program instead of T; same "
+                         "params/metrics, sequential-loop working set)")
     ap.add_argument("--remat_heads", action="store_true",
                     help="rematerialize decoder heads in backward (the PUP "
                          "heads dominate HBM; frees memory for larger B)")
@@ -323,6 +327,8 @@ def run(args) -> Dict:
         overrides["scan_blocks"] = True
     if args.stacked_tasks:
         overrides["stacked_tasks"] = True
+    if args.scan_tasks:
+        overrides["scan_tasks"] = True
     if args.remat_heads:
         overrides["remat_heads"] = True
     if args.overfit:

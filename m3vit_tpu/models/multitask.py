@@ -60,6 +60,13 @@ class MultiTaskModel(nn.Module):
     # statistics).  Parameters are identical to the sequential form, so
     # checkpoints are interchangeable.
     stacked_tasks: bool = False
+    # lax.scan the per-task multi-gate backbone passes (params broadcast,
+    # task_id is the scanned input): the backbone's XLA program — and its
+    # Pallas kernel instances — is emitted ONCE instead of T times.  Unlike
+    # stacked_tasks only one task's activations are in flight at a time
+    # (same working set as the sequential loop).  Parameters are identical
+    # to the sequential form, so checkpoints are interchangeable.
+    scan_tasks: bool = False
     # rematerialize the decoder heads in the backward pass.  The PUP heads'
     # 512²x256ch conv activations dominate the train step's HBM footprint
     # (~14.7 GB at B=8 without remat on a 16 GB chip); trading their
@@ -127,6 +134,32 @@ class MultiTaskModel(nn.Module):
             per_task = feats.reshape((T, x.shape[0]) + feats.shape[1:])
             for i, task in enumerate(self.tasks):
                 out[task] = resize_bilinear(decode(task, per_task[i]),
+                                            out_size)
+        elif self.multi_gate and self.scan_tasks:
+            T = len(self.tasks)
+            tids = jnp.arange(T, dtype=jnp.int32)
+
+            def body(mdl, carry, tid):
+                if sem is not None:
+                    ret = mdl(x, task_id=tid, train=train, sem=sem)
+                else:
+                    ret = mdl(x, task_id=tid, train=train)
+                return carry, ret
+
+            scan = nn.scan(
+                body,
+                variable_broadcast="params",
+                # params rng broadcasts (one shared init); per-task noise
+                # and dropout draws are split like the sequential loop's
+                split_rngs={"params": False, "dropout": True,
+                            "gate_noise": True},
+                in_axes=0, out_axes=0,
+            )
+            _, (feats_all, cvs, st) = scan(self.backbone, 0, tids)
+            total_cv = jnp.sum(cvs)
+            stats = jax.tree.map(lambda a: a.sum(0), st)
+            for i, task in enumerate(self.tasks):
+                out[task] = resize_bilinear(decode(task, feats_all[i]),
                                             out_size)
         elif self.multi_gate:
             # one backbone pass per task, each with its own router set

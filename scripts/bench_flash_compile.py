@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--scan_blocks", action="store_true",
                     help="scan over block pairs (one kernel instance per "
                          "pair program instead of depth/2)")
+    ap.add_argument("--scan_tasks", action="store_true",
+                    help="scan the per-task backbone passes (one backbone "
+                         "program instead of T)")
     args = ap.parse_args()
     os.environ["M3VIT_FLASH_ATTN"] = args.flash
     if args.cache:
@@ -49,7 +52,7 @@ def main():
     model, tasks = build_flagship(
         depth=args.depth, tasks=tasks, dtype=jnp.bfloat16,
         use_checkpointing=False, capacity_factor=1.25,
-        scan_blocks=args.scan_blocks,
+        scan_blocks=args.scan_blocks, scan_tasks=args.scan_tasks,
     )
     batch = synthetic_batch(jax.random.key(0), tasks, 8, (512, 512))
     p = {"optimizer": "sgd",
@@ -72,9 +75,11 @@ def main():
         state, metrics = step(state, batch, jax.random.key(2))
     float(metrics["loss_total"])
     dt = (time.perf_counter() - t0) / 5
-    n_attn = (2 if args.scan_blocks else args.depth) * args.tasks
+    n_attn = (2 if args.scan_blocks else args.depth) * (
+        1 if args.scan_tasks else args.tasks)
     print(f"depth={args.depth} tasks={args.tasks} flash={args.flash} "
-          f"scan={args.scan_blocks} attn_instances={n_attn}: "
+          f"scan_blocks={args.scan_blocks} scan_tasks={args.scan_tasks} "
+          f"attn_instances={n_attn}: "
           f"compile {t_compile:.1f}s, step {dt*1e3:.1f} ms")
 
 
