@@ -30,6 +30,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 
 def main():
+    import argparse
+
     from __graft_entry__ import build_flagship
     from m3vit_tpu.data.synthetic import synthetic_batch
     from m3vit_tpu.losses.functions import loss_fn_for_task
@@ -37,8 +39,14 @@ def main():
     from m3vit_tpu.train.state import create_train_state
     from m3vit_tpu.train.step import make_train_step
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8,
+                    help="per-chip batch (8 = the operating point the "
+                         "driver measures)")
+    args = ap.parse_args()
+
     n_chips = len(jax.devices())
-    batch_per_chip = 8
+    batch_per_chip = args.batch
     batch_size = batch_per_chip * n_chips
 
     mesh = None
