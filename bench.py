@@ -104,10 +104,12 @@ def main():
 
     imgs_per_sec = batch_size * n_steps / dt
     per_chip = imgs_per_sec / n_chips
+    suffix = "" if batch_per_chip == 8 else f"_b{batch_per_chip}"
     print(
         json.dumps(
             {
-                "metric": "train_throughput_vit_small_moe_e16k4_5task_512",
+                "metric":
+                    "train_throughput_vit_small_moe_e16k4_5task_512" + suffix,
                 "value": round(per_chip, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(per_chip / TARGET_IMGS_PER_SEC_PER_CHIP, 4),

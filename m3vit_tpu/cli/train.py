@@ -335,6 +335,17 @@ def run(args) -> Dict:
         overrides["overfit"] = True
     p = create_config(args.config_env, args.config_exp, overrides,
                       make_dirs=True)
+    if p.get("stacked_tasks") and p.get("scan_tasks"):
+        raise SystemExit("--stacked_tasks and --scan_tasks are mutually "
+                         "exclusive multi-gate execution strategies")
+    if p.get("scan_tasks") and not p.get("multi_gate"):
+        print("WARNING: scan_tasks has no effect without multi_gate; "
+              "the shared-router forward already runs the backbone once")
+    if (p.get("scan_blocks") or p.get("scan_tasks")) and \
+            p.get("backbone") != "VisionTransformer_moe":
+        print("WARNING: scan_blocks/scan_tasks only apply to the "
+              "VisionTransformer_moe backbone; ignored for "
+              f"{p.get('backbone')}")
     if p.get("stacked_tasks") and not p.get("multi_gate"):
         print("WARNING: stacked_tasks has no effect without multi_gate; "
               "running the shared-gate path")

@@ -99,6 +99,11 @@ class MultiTaskModel(nn.Module):
         total_cv = jnp.asarray(0.0, jnp.float32)
         stats: Dict = {}
 
+        if self.stacked_tasks and self.scan_tasks:
+            raise ValueError(
+                "stacked_tasks and scan_tasks are mutually exclusive "
+                "multi-gate execution strategies; pick one")
+
         if single_task is not None:
             tid = self.tasks.index(single_task) if self.multi_gate else None
             feats, cv, stats = self._run_backbone(x, tid, train, sem)

@@ -27,16 +27,19 @@ _QMAX = 127.0
 
 
 def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """[E, d_in, d_out] float -> (int8 [E, d_in, d_out], f32 scale [E, d_out])."""
+    """[..., E, d_in, d_out] float -> (int8 same shape, f32 scale
+    [..., E, d_out]).  The reduction is always over d_in (axis -2) so the
+    scan_blocks stacked layout ([depth/2, E, d_in, d_out]) quantizes
+    per-(layer, expert, output-channel) identically to the loop layout."""
     w = np.asarray(w, np.float32)
-    amax = np.abs(w).max(axis=1)                     # [E, d_out]
+    amax = np.abs(w).max(axis=-2)                    # [..., E, d_out]
     scale = np.where(amax > 0, amax / _QMAX, 1.0).astype(np.float32)
-    q = np.clip(np.rint(w / scale[:, None, :]), -_QMAX, _QMAX).astype(np.int8)
+    q = np.clip(np.rint(w / scale[..., None, :]), -_QMAX, _QMAX).astype(np.int8)
     return jnp.asarray(q), jnp.asarray(scale)
 
 
 def dequantize_weight(q: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
-    return q.astype(jnp.float32) * scale[:, None, :]
+    return q.astype(jnp.float32) * scale[..., None, :]
 
 
 def quantize_expert_tree(params, with_error: bool = False):

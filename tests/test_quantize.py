@@ -180,3 +180,49 @@ def test_model_int8_conversion_end_to_end():
     a, b = np.asarray(out, np.float32), np.asarray(out_q, np.float32)
     rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
     assert rel < 0.05, rel
+
+
+def test_quantize_stacked_scan_layout_matches_per_layer():
+    """scan_blocks stores expert banks as [L, E, d_in, d_out]; quantizing
+    the stacked bank must equal quantizing each layer independently (the
+    reduction is over d_in, never the leading layer/expert axes)."""
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.normal(size=(3, 4, 16, 8)).astype(np.float32))
+    q, s = quantize_weight(w)
+    assert q.shape == (3, 4, 16, 8) and s.shape == (3, 4, 8)
+    for layer in range(3):
+        ql, sl = quantize_weight(w[layer])
+        np.testing.assert_array_equal(np.asarray(q[layer]), np.asarray(ql))
+        np.testing.assert_allclose(np.asarray(s[layer]), np.asarray(sl))
+    deq = np.asarray(dequantize_weight(q, s))
+    np.testing.assert_allclose(
+        deq, np.asarray(w), atol=float(np.abs(w).max()) / 127)
+
+
+def test_quantize_expert_tree_scan_layout():
+    """quantize_expert_tree on a blocks_scan-layout tree produces per-layer
+    q/scale pairs the scan-mode int8 model consumes (slice of dim 0 ==
+    the loop-mode per-block qparams)."""
+    from m3vit_tpu.utils.scan_params import loop_to_scan
+
+    rng = np.random.default_rng(8)
+    loop_tree = {
+        f"block_{i}": {"mlp": {
+            "experts_w1": rng.normal(size=(4, 8, 16)).astype(np.float32),
+            "experts_b1": np.zeros((4, 16), np.float32),
+            "experts_w2": rng.normal(size=(4, 16, 8)).astype(np.float32),
+            "experts_b2": np.zeros((4, 8), np.float32),
+        }} for i in range(4)
+    }
+    scan_tree = loop_to_scan(loop_tree, 4)
+    q_scan = quantize_expert_tree(scan_tree)
+    q_loop = quantize_expert_tree(loop_tree)
+    stacked = q_scan["blocks_scan"]["moe"]["mlp"]
+    for j, i in enumerate((1, 3)):  # odd blocks are the moe entries
+        ref = q_loop[f"block_{i}"]["mlp"]
+        np.testing.assert_array_equal(
+            np.asarray(stacked["experts_w1_q"][j]),
+            np.asarray(ref["experts_w1_q"]))
+        np.testing.assert_allclose(
+            np.asarray(stacked["experts_w2_scale"][j]),
+            np.asarray(ref["experts_w2_scale"]))

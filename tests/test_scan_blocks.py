@@ -6,7 +6,6 @@ expert-shardable on a mesh.  Layout conversion (utils.scan_params) must
 round-trip the per-block storage format.
 """
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp

@@ -2,7 +2,6 @@
 passes (MultiTaskModel.scan_tasks).  Params are identical to the sequential
 loop, so outputs and gradients must match exactly (deterministic gating)."""
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp
