@@ -99,7 +99,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, n_valid, d):
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
-                dq_ref, dk_ref, dv_ref, *, scale, n_valid, d):
+                dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                *, scale, n_valid, d, nq):
     j = pl.program_id(2)
     q = q_ref[0]                      # [BQ, 128]
     k = k_ref[0]                      # [NP, 128]
@@ -108,10 +109,15 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
     do = do_ref[0]
     cd = q.dtype
 
+    # dk/dv accumulate in f32 VMEM scratch across the q-tile grid axis and
+    # are emitted ONCE, in the kernel's compute dtype, at the last tile —
+    # halving their HBM writes vs f32 outputs and removing the downstream
+    # convert pass (the final bf16 cast is identical to the old
+    # cast-in-concat numerics; accumulation itself stays f32)
     @pl.when(j == 0)
     def _init():
-        dk_ref[0] = jnp.zeros_like(dk_ref[0])
-        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
 
     dqs = []
     for i in range(q.shape[-1] // d):
@@ -131,15 +137,20 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
             ds.astype(cd), k[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(dq_ref.dtype))
-        dk_ref[0, :, sl] += lax.dot_general(          # ds^T · q
+        dk_acc[:, sl] += lax.dot_general(             # ds^T · q
             ds.astype(cd), q[:, sl], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dv_ref[0, :, sl] += lax.dot_general(          # p^T · do
+        dv_acc[:, sl] += lax.dot_general(             # p^T · do
             p.astype(cd), do[:, sl], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     dq_ref[0] = jnp.concatenate(dqs, axis=-1)
+
+    @pl.when(j == nq - 1)
+    def _emit():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _group_specs(hb: int, np_: int):
@@ -204,7 +215,8 @@ def _bwd(qkvp, o, lse, dout, N, num_heads, scale, interpret, valid):
     hpg = _LANES // d
     nq = np_ // _BQ
     dop = _pad_tokens(dout, np_)
-    kernel = functools.partial(_bwd_kernel, scale=scale, n_valid=valid, d=d)
+    kernel = functools.partial(_bwd_kernel, scale=scale, n_valid=valid, d=d,
+                               nq=nq)
     tile = pl.BlockSpec((1, _BQ, _LANES), lambda b, g, j: (b, j, g),
                         memory_space=pltpu.VMEM)
     resident = pl.BlockSpec((1, np_, _LANES), lambda b, g, j: (b, 0, g),
@@ -222,8 +234,12 @@ def _bwd(qkvp, o, lse, dout, N, num_heads, scale, interpret, valid):
         out_specs=[tile, resident, resident],
         out_shape=[
             jax.ShapeDtypeStruct((B, np_, C), qkvp.dtype),
-            jax.ShapeDtypeStruct((B, np_, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, np_, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, np_, C), qkvp.dtype),
+            jax.ShapeDtypeStruct((B, np_, C), qkvp.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((np_, _LANES), jnp.float32),   # dk accumulator
+            pltpu.VMEM((np_, _LANES), jnp.float32),   # dv accumulator
         ],
         cost_estimate=pl.CostEstimate(
             flops=10 * B * num_heads * np_ * np_ * d,
@@ -232,8 +248,7 @@ def _bwd(qkvp, o, lse, dout, N, num_heads, scale, interpret, valid):
         ),
         interpret=interpret,
     )(qkvp, qkvp, qkvp, o, dop, lse)
-    dqkv = jnp.concatenate(
-        [dq, dk.astype(dq.dtype), dv.astype(dq.dtype)], axis=-1)
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
     return (dqkv[:, :N],)
 
 
