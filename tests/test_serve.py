@@ -198,3 +198,47 @@ def test_session_warmup_compiles_all(tiny):
     out = sess.predict(images, "edge")
     ref = _direct(model, variables, images, "edge")
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_session_with_scan_blocks_int8():
+    """Serving a scan_blocks-layout model end-to-end, float and int8: the
+    stacked [L, E, d_in, d_out] expert banks must quantize per-layer (the
+    d_in-axis reduction in serve.quantize) and predict like the loop model."""
+    import dataclasses
+
+    from m3vit_tpu.serve.quantize import quantize_expert_tree
+    from m3vit_tpu.utils.scan_params import loop_to_scan
+
+    loop_model = build_tiny_model()
+    # depth-2 loop checkpoint -> scan layout
+    variables = loop_model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, IMG, IMG, 3), jnp.float32), train=False)
+    scan_model = dataclasses.replace(
+        loop_model,
+        backbone=dataclasses.replace(loop_model.backbone, scan_blocks=True))
+    vp = dict(variables["params"])
+    vp["backbone"] = loop_to_scan(variables["params"]["backbone"], 2)
+    scan_vars = dict(variables) | {"params": vp}
+
+    imgs = np.asarray(
+        jax.random.normal(jax.random.key(2), (1, IMG, IMG, 3)), np.float32)
+    sess_loop = InferenceSession(loop_model, variables, ["semseg"],
+                                 (IMG, IMG), buckets=(1,))
+    sess_scan = InferenceSession(scan_model, scan_vars, ["semseg"],
+                                 (IMG, IMG), buckets=(1,))
+    a = sess_loop.predict(imgs, "semseg")
+    b = sess_scan.predict(imgs, "semseg")
+    np.testing.assert_allclose(b, a, atol=1e-4)
+
+    model_q = dataclasses.replace(
+        scan_model,
+        backbone=dataclasses.replace(scan_model.backbone,
+                                     expert_weights_int8=True))
+    vars_q = dict(scan_vars) | {
+        "params": quantize_expert_tree(scan_vars["params"])}
+    sess_q = InferenceSession(model_q, vars_q, ["semseg"], (IMG, IMG),
+                              buckets=(1,))
+    c = sess_q.predict(imgs, "semseg")
+    rel = np.abs(a - c).max() / (np.abs(a).max() + 1e-9)
+    assert rel < 0.05, rel
