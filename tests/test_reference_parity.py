@@ -1740,3 +1740,202 @@ def test_training_trajectory_matches_reference():
         np.testing.assert_allclose(
             g, w, atol=1e-3, rtol=2e-3,
             err_msg=f"final param mismatch at {k}")
+
+
+def test_training_trajectory_taskcond_one_by_one_matches_reference():
+    """Task-conditioned one-by-one training trajectory vs the reference.
+
+    The OTHER headline routing mode: a single shared gate conditioned on a
+    task one-hot through TaskRepresentMlp (reference
+    ckpt/vision_transformer_moe.py:638-641,793-797), trained the way the
+    reference trains it — per-task forward/backward with
+    `model(images, single_task=t, task_id=i)` accumulating grads, ONE
+    optimizer step per batch (train_utils.py:370-421 with --one_by_one /
+    --task_one_hot).  Each task pass's loss = w_t * L_t + 0.01 * cv
+    (cv from that pass).  20 steps, per-pass losses and final backbone
+    params must match like the multi-gate trajectory test."""
+    import importlib
+
+    from m3vit_tpu.losses.functions import loss_fn_for_task
+    from m3vit_tpu.models.heads import VisionTransformerUpHead
+    from m3vit_tpu.models.multitask import TaskConditionedMultiTaskModel
+    from m3vit_tpu.models.vit_moe import VisionTransformerMoE
+    from m3vit_tpu.train.optim import build_optimizer
+    from m3vit_tpu.train.state import TrainState
+    from m3vit_tpu.train.step import make_one_by_one_train_step
+    from m3vit_tpu.utils.torch_interop import merge_into
+
+    vtm = _load_reference_backbone_module()
+    _install_mmcv_stub()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    vuh = importlib.import_module("models.heads.vit_up_head")
+    ref_models = importlib.import_module("models.models")
+    ref_schemes = importlib.import_module("losses.loss_schemes")
+    ref_lossfn = importlib.import_module("losses.loss_functions")
+
+    IMG, d, depth, heads, E, K, gtsd = 64, 64, 2, 4, 8, 2, 16
+    TASKS = ["semseg", "normals"]
+    N_CLS = {"semseg": 5, "normals": 3}
+    WEIGHTS = {"semseg": 1.0, "normals": 10.0}
+    T = len(TASKS)
+    B, STEPS, EPOCHS, SPE = 2, 20, 4, 5
+    # lower LR than the multi-gate trajectory test: the SHARED gate routes
+    # both tasks' passes, so discrete top-k flips amplify cross-framework
+    # f32 drift through twice as many conditioned passes per step (measured
+    # rel 2e-3 at step 18 with lr=0.003; divergence growth scales with LR —
+    # see the multi-gate test's calibration note)
+    LR, MOM, WD, CVW = 0.002, 0.9, 1e-4, 0.01
+
+    torch.manual_seed(21)
+    ref_backbone = vtm.VisionTransformerMoE(
+        model_name="tiny_tc_traj", img_size=IMG, patch_size=16, embed_dim=d,
+        depth=depth, num_heads=heads, mlp_ratio=4.0, qkv_bias=True,
+        drop_rate=0.0, moe_mlp_ratio=1, moe_experts=E, moe_top_k=K,
+        world_size=1, moe_gate_type="noisy_vmoe", vmoe_noisy_std=0.0,
+        random_init=True, use_checkpointing=True,
+        multi_gate=False, gate_dim=d + T, gate_task_specific_dim=gtsd,
+    )
+    ref_decoders = torch.nn.ModuleDict({
+        t: vuh.VisionTransformerUpHead(
+            img_size=(IMG, IMG), patch_size=16, embed_dim=d, num_conv=4,
+            num_upsampe_layer=4, p={}, in_channels=d, channels=256,
+            num_classes=N_CLS[t],
+        ) for t in TASKS
+    })
+    p_ref = {"multi_gate": False, "use_cv_loss": True,
+             "use_checkpointing": True}
+    ref_model = ref_models.MultiTaskModel(ref_backbone, ref_decoders, TASKS,
+                                          p=p_ref)
+    ref_model.train()
+    with torch.no_grad():  # widen routing margins (see multi-gate test)
+        for name, prm in ref_model.named_parameters():
+            if name.endswith("w_gate"):
+                prm.mul_(4.0)
+    criterion = ref_schemes.MultiTaskLoss(
+        TASKS,
+        torch.nn.ModuleDict({
+            "semseg": ref_lossfn.SoftMaxwithLoss(),
+            "normals": ref_lossfn.NormalsLoss(normalize=True,
+                                              size_average=True, norm=1),
+        }),
+        dict(WEIGHTS), multi_level=False, p={},
+    )
+    opt = torch.optim.SGD(ref_model.parameters(), lr=LR, momentum=MOM,
+                          weight_decay=WD)
+    sd = {k: v.detach().numpy().copy()
+          for k, v in ref_model.state_dict().items()}
+
+    backbone = VisionTransformerMoE(
+        img_size=(IMG, IMG), patch_size=16, embed_dim=d, depth=depth,
+        num_heads=heads, mlp_ratio=4.0, qkv_bias=True, moe_mlp_ratio=1.0,
+        moe_experts=E, moe_top_k=K, capacity_factor=8.0,
+        eval_capacity_factor=8.0, dtype=jnp.float32, vmoe_noisy_std=0.0,
+        multi_gate=False, num_tasks=T, gate_task_specific_dim=gtsd,
+        use_checkpointing=True, use_pallas_ffn=False,
+    )
+    decoders = {
+        t: VisionTransformerUpHead(
+            img_size=(IMG, IMG), patch_size=16, embed_dim=d,
+            num_classes=N_CLS[t], dtype=jnp.float32,
+        ) for t in TASKS
+    }
+    model = TaskConditionedMultiTaskModel(backbone=backbone,
+                                          decoders=decoders, tasks=TASKS)
+
+    bb_params = _convert_backbone_sd(
+        {k[len("backbone."):]: v for k, v in sd.items()
+         if k.startswith("backbone.")}, depth, multi_gate_tasks=0)
+    params = {"backbone": bb_params}
+    bstats = {}
+    for t in TASKS:
+        hp, hb = _convert_pup_head_sd(sd, f"decoders.{t}.")
+        params[f"decoders_{t}"] = hp
+        bstats[f"decoders_{t}"] = hb
+
+    batches = _fabricated_trajectory_batches(STEPS, B, IMG, N_CLS["semseg"],
+                                             seed=3)
+    img0 = jnp.asarray(batches[0]["image"].transpose(0, 2, 3, 1))
+    template = model.init(
+        {"params": jax.random.key(0), "gate_noise": jax.random.key(1),
+         "dropout": jax.random.key(2)},
+        img0, train=True,
+    )
+    merged, missing = merge_into(template["params"], params)
+    assert not missing, f"unconverted params: {missing}"
+
+    p_opt = {"optimizer": "sgd",
+             "optimizer_kwargs": {"lr": LR, "momentum": MOM,
+                                  "weight_decay": WD},
+             "scheduler": "poly", "epochs": EPOCHS}
+    tx = build_optimizer(p_opt, steps_per_epoch=SPE)
+    state = TrainState.create(
+        apply_fn=model.apply, params=merged, tx=tx,
+        batch_stats=merge_into(template["batch_stats"], bstats)[0],
+    )
+    loss_fns = {t: loss_fn_for_task(t, {}) for t in TASKS}
+    grad_fns, apply_fn = make_one_by_one_train_step(
+        model, TASKS, loss_fns, WEIGHTS, cv_weight=CVW)
+
+    ref_hist, our_hist = [], []
+    for i, b in enumerate(batches):
+        epoch = i // SPE
+        lr_e = LR * (1.0 - epoch / EPOCHS) ** 0.9
+        for g in opt.param_groups:
+            g["lr"] = lr_e
+
+        images = torch.from_numpy(b["image"])
+        targets = {"semseg": torch.from_numpy(b["semseg"]),
+                   "normals": torch.from_numpy(b["normals"])}
+        opt.zero_grad(set_to_none=True)
+        rstep = {}
+        for tid, task in enumerate(TASKS):
+            out_t = ref_model(images, single_task=task, task_id=tid)
+            out, cv = out_t if isinstance(out_t, tuple) else (out_t, 0.0)
+            loss_dict = criterion(out, targets, task)
+            total = loss_dict["total"] + CVW * cv
+            total.backward()
+            rstep[task] = float(loss_dict[task])
+            rstep[f"total_{task}"] = float(total)
+        opt.step()
+        ref_hist.append(rstep)
+
+        jb = {"image": jnp.asarray(b["image"].transpose(0, 2, 3, 1)),
+              "semseg": jnp.asarray(b["semseg"].transpose(0, 2, 3, 1)),
+              "normals": jnp.asarray(b["normals"].transpose(0, 2, 3, 1))}
+        grads_sum, merged_bs, ostep = None, dict(state.batch_stats), {}
+        for task in TASKS:
+            g, m, bs = grad_fns[task](state, jb, jax.random.key(200 + i))
+            grads_sum = g if grads_sum is None else jax.tree.map(
+                jnp.add, grads_sum, g)
+            for k, v in (bs or {}).items():
+                if k == f"decoders_{task}" or k not in merged_bs:
+                    merged_bs[k] = v
+            ostep[task] = float(m[f"loss_{task}"])
+            ostep[f"total_{task}"] = float(m["loss_total"])
+        state = apply_fn(state, grads_sum, merged_bs)
+        our_hist.append(ostep)
+
+    keys = [k for t in TASKS for k in (t, f"total_{t}")]
+    for i, (r, o) in enumerate(zip(ref_hist, our_hist)):
+        for k in keys:
+            rel = abs(r[k] - o[k]) / max(abs(r[k]), 1e-6)
+            assert rel <= 1e-3, (
+                f"step {i} '{k}' diverged: ref={r[k]:.6f} ours={o[k]:.6f} "
+                f"rel={rel:.2e}\nref={ref_hist}\nours={our_hist}")
+
+    sd_final = {k: v.detach().numpy()
+                for k, v in ref_model.state_dict().items()}
+    bb_final = _convert_backbone_sd(
+        {k[len("backbone."):]: v for k, v in sd_final.items()
+         if k.startswith("backbone.")}, depth, multi_gate_tasks=0)
+    got = jax.tree.map(np.asarray, state.params["backbone"])
+    want = jax.tree.map(np.asarray, bb_final)
+    flat_g = {"/".join(map(str, k)): v
+              for k, v in jax.tree_util.tree_flatten_with_path(got)[0]}
+    flat_w = {"/".join(map(str, k)): v
+              for k, v in jax.tree_util.tree_flatten_with_path(want)[0]}
+    for k, w in flat_w.items():
+        np.testing.assert_allclose(
+            flat_g[k], w, atol=1e-3, rtol=2e-3,
+            err_msg=f"final param mismatch at {k}")
