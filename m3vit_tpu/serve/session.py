@@ -47,18 +47,23 @@ class InferenceSession:
 
     # -- compilation ------------------------------------------------------
 
-    def _fn(self, task: str):
+    def _fn(self, task: str, postprocess: bool):
         model = self.model
 
         def fn(variables, image):
             pred, _, _ = model.apply(variables, image, train=False,
                                      single_task=task)
+            if postprocess:
+                from m3vit_tpu.evaluation.outputs import get_output_device
+
+                return get_output_device(pred[task], task)
             return pred[task]
 
         return fn
 
-    def _compile(self, task: str, bucket: int) -> jax.stages.Compiled:
-        key = (task, bucket)
+    def _compile(self, task: str, bucket: int,
+                 postprocess: bool = False) -> jax.stages.Compiled:
+        key = (task, bucket, postprocess)
         if key not in self._exec:
             H, W = self.img_size
             spec = jax.ShapeDtypeStruct((bucket, H, W, 3), self.input_dtype)
@@ -68,17 +73,18 @@ class InferenceSession:
                 self.variables,
             )
             jitted = jax.jit(
-                self._fn(task),
+                self._fn(task, postprocess),
                 donate_argnums=(1,) if self._donate else (),
             )
             self._exec[key] = jitted.lower(var_specs, spec).compile()
         return self._exec[key]
 
-    def warmup(self, tasks: Optional[Sequence[str]] = None) -> None:
+    def warmup(self, tasks: Optional[Sequence[str]] = None,
+               postprocess: bool = False) -> None:
         """Compile every (task, bucket) executable ahead of time."""
         for t in tasks if tasks is not None else self.tasks:
             for b in self.buckets:
-                self._compile(t, b)
+                self._compile(t, b, postprocess)
 
     @property
     def compiled_keys(self):
@@ -95,11 +101,17 @@ class InferenceSession:
             )
         return self.buckets[i]
 
-    def predict(self, images, task: str) -> np.ndarray:
+    def predict(self, images, task: str,
+                postprocess: bool = False) -> np.ndarray:
         """Run `task` on [N, H, W, 3] images; N <= max bucket.
 
         Pads to the nearest bucket, runs the AOT executable, returns the
         first N rows as numpy.
+
+        postprocess=True applies the task's `get_output` conversion
+        (reference utils/utils.py:60-79) ON DEVICE — class-map argmax /
+        [0,255] scaling — and ships the compact uint8/f32 result instead
+        of raw logits (~84x fewer device->host bytes for semseg).
 
         Padding replicates the real images cyclically rather than using
         zeros: for MoE models the pad images join expert routing, and a
@@ -118,5 +130,5 @@ class InferenceSession:
         if b != n:
             reps = -(-b // n)  # ceil
             images = jnp.tile(images, (reps, 1, 1, 1))[:b]
-        out = self._compile(task, b)(self.variables, images)
+        out = self._compile(task, b, postprocess)(self.variables, images)
         return np.asarray(out)[:n]

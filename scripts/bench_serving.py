@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="weight-only int8 expert banks (serve/quantize.py)")
     ap.add_argument("--no_flash", action="store_true")
+    ap.add_argument("--postprocess", action="store_true",
+                    help="on-device get_output (argmax/uint8): ships the "
+                         "compact result instead of raw logits.  On the "
+                         "axon relay the logits transfer dominates absolute "
+                         "latency (~22 MB/request for semseg at ~12 MB/s); "
+                         "without this flag use the numbers only for A/B")
     args = ap.parse_args()
     if args.no_flash:
         os.environ["M3VIT_FLASH_ATTN"] = "0"
@@ -64,18 +70,19 @@ def main():
         img_size=(512, 512), buckets=args.buckets,
     )
     t0 = time.perf_counter()
-    sess.warmup(tasks=[args.task])
+    sess.warmup(tasks=[args.task], postprocess=args.postprocess)
     warmup_s = time.perf_counter() - t0
 
     rng = np.random.RandomState(0)
     for b in args.buckets:
         images = rng.randn(b, 512, 512, 3).astype(np.float32)
         # one throwaway to load weights into the executable path
-        sess.predict(images, args.task)
+        sess.predict(images, args.task, postprocess=args.postprocess)
         lats = []
         for _ in range(args.requests):
             t0 = time.perf_counter()
-            out = sess.predict(images, args.task)  # predict() -> np: sync
+            out = sess.predict(images, args.task,
+                               postprocess=args.postprocess)
             lats.append(time.perf_counter() - t0)
         lats_ms = np.array(lats) * 1e3
         print(json.dumps({

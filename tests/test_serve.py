@@ -242,3 +242,31 @@ def test_session_with_scan_blocks_int8():
     c = sess_q.predict(imgs, "semseg")
     rel = np.abs(a - c).max() / (np.abs(a).max() + 1e-9)
     assert rel < 0.05, rel
+
+
+def test_predict_postprocess_matches_host_get_output():
+    """predict(postprocess=True) == get_output(predict()) for every task
+    kind (on-device argmax/scaling vs the host evaluation path), modulo
+    the uint8 wire rounding."""
+    from m3vit_tpu.evaluation.outputs import get_output
+
+    model = build_tiny_model()
+    variables = model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, IMG, IMG, 3), jnp.float32), train=False)
+    sess = InferenceSession(model, variables, ["semseg", "edge"],
+                            (IMG, IMG), buckets=(2,))
+    imgs = np.asarray(
+        jax.random.normal(jax.random.key(3), (2, IMG, IMG, 3)), np.float32)
+
+    raw_sem = sess.predict(imgs, "semseg")
+    post_sem = sess.predict(imgs, "semseg", postprocess=True)
+    assert post_sem.dtype == np.uint8 and post_sem.shape == (2, IMG, IMG)
+    np.testing.assert_array_equal(post_sem, get_output(raw_sem, "semseg"))
+
+    raw_edge = sess.predict(imgs, "edge")
+    post_edge = sess.predict(imgs, "edge", postprocess=True)
+    assert post_edge.dtype == np.uint8
+    np.testing.assert_allclose(
+        post_edge.astype(np.float32), get_output(raw_edge, "edge"),
+        atol=0.501)  # uint8 rounding of the 255*sigmoid value
