@@ -35,13 +35,20 @@ class InferenceSession:
         buckets: Sequence[int] = (1, 2, 4, 8),
         input_dtype=jnp.float32,
         donate_input: bool = False,
+        raw_uint8_input: bool = False,
     ):
         self.model = model
         self.variables = variables
         self.tasks = list(tasks)
         self.img_size = tuple(img_size)
         self.buckets = sorted(set(int(b) for b in buckets))
-        self.input_dtype = input_dtype
+        # raw_uint8_input: requests carry raw [0,255] uint8 pixels and the
+        # executable performs /255 + ImageNet mean/std normalization ON
+        # DEVICE (the client no longer pre-normalizes; the wire payload is
+        # 4x smaller than f32).  Matches the training pipeline's Normalize
+        # (data/transforms.py, reference custom_transforms.py:307-318).
+        self.raw_uint8_input = raw_uint8_input
+        self.input_dtype = jnp.uint8 if raw_uint8_input else input_dtype
         self._exec: Dict[Tuple[str, int], jax.stages.Compiled] = {}
         self._donate = donate_input
 
@@ -49,8 +56,18 @@ class InferenceSession:
 
     def _fn(self, task: str, postprocess: bool):
         model = self.model
+        raw = self.raw_uint8_input
 
         def fn(variables, image):
+            if raw:
+                from m3vit_tpu.data.transforms import (
+                    IMAGENET_MEAN,
+                    IMAGENET_STD,
+                )
+
+                image = (image.astype(jnp.float32) / 255.0
+                         - jnp.asarray(IMAGENET_MEAN)) \
+                    / jnp.asarray(IMAGENET_STD)
             pred, _, _ = model.apply(variables, image, train=False,
                                      single_task=task)
             if postprocess:

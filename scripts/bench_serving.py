@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="weight-only int8 expert banks (serve/quantize.py)")
     ap.add_argument("--no_flash", action="store_true")
+    ap.add_argument("--raw_uint8", action="store_true",
+                    help="ship raw [0,255] uint8 pixels; normalize on "
+                         "device (4x smaller request payload)")
     ap.add_argument("--postprocess", action="store_true",
                     help="on-device get_output (argmax/uint8): ships the "
                          "compact result instead of raw logits.  On the "
@@ -68,6 +71,7 @@ def main():
     sess = InferenceSession(
         model, variables, tasks=[t.name for t in tasks],
         img_size=(512, 512), buckets=args.buckets,
+        raw_uint8_input=args.raw_uint8,
     )
     t0 = time.perf_counter()
     sess.warmup(tasks=[args.task], postprocess=args.postprocess)
@@ -75,7 +79,11 @@ def main():
 
     rng = np.random.RandomState(0)
     for b in args.buckets:
-        images = rng.randn(b, 512, 512, 3).astype(np.float32)
+        if args.raw_uint8:
+            images = rng.randint(0, 256, size=(b, 512, 512, 3),
+                                 dtype=np.int64).astype(np.uint8)
+        else:
+            images = rng.randn(b, 512, 512, 3).astype(np.float32)
         # one throwaway to load weights into the executable path
         sess.predict(images, args.task, postprocess=args.postprocess)
         lats = []

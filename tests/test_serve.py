@@ -270,3 +270,27 @@ def test_predict_postprocess_matches_host_get_output():
     np.testing.assert_allclose(
         post_edge.astype(np.float32), get_output(raw_edge, "edge"),
         atol=0.501)  # uint8 rounding of the 255*sigmoid value
+
+
+def test_raw_uint8_input_session_matches_prenormalized():
+    """raw_uint8_input=True: the client ships [0,255] uint8 pixels and the
+    executable normalizes on device — predictions must equal a session fed
+    host-normalized f32 (the training pipeline's ToArrays semantics)."""
+    from m3vit_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    model = build_tiny_model()
+    variables = model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, IMG, IMG, 3), jnp.float32), train=False)
+
+    rng = np.random.RandomState(5)
+    raw = rng.randint(0, 256, size=(2, IMG, IMG, 3)).astype(np.uint8)
+    norm = (raw.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+
+    sess_f32 = InferenceSession(model, variables, ["semseg"], (IMG, IMG),
+                                buckets=(2,))
+    sess_raw = InferenceSession(model, variables, ["semseg"], (IMG, IMG),
+                                buckets=(2,), raw_uint8_input=True)
+    a = sess_f32.predict(norm, "semseg")
+    b = sess_raw.predict(raw, "semseg")
+    np.testing.assert_allclose(b, a, atol=1e-4)
