@@ -34,11 +34,25 @@ if [ ! -d "$DB_ROOT/PASCAL_MT/JPEGImages" ]; then
   exit 1
 fi
 
+# generate the env config from DB_ROOT/RUNS (the CLI reads dataset roots
+# from --config_env only; without it p.db_paths is empty)
+ENV_YML="$(mktemp /tmp/m3vit_env.XXXX.yml)"
+cat > "$ENV_YML" <<EOF
+root_dir: $RUNS
+db_root_dir: $DB_ROOT
+dataset_roots:
+  ImageNet1K: $DB_ROOT/imagenet_1k
+  PASCAL_MT: $DB_ROOT/PASCAL_MT
+  NYUD_MT: $DB_ROOT/NYUD_MT
+  cityscapes: $DB_ROOT/cityscapes
+EOF
+echo "== env config: $ENV_YML"
+
 overfit_run() {  # config epochs loss_threshold extra...
   local cfg="$1" epochs="$2" thresh="$3"; shift 3
   local name; name="overfit_$(basename "$cfg" .yml)"
   echo "== overfit-64: $cfg (epochs=$epochs, loss<$thresh)"
-  $PY -m m3vit_tpu.cli.train --config_exp "$cfg" \
+  $PY -m m3vit_tpu.cli.train --config_env "$ENV_YML" --config_exp "$cfg" \
       --overfit --epochs "$epochs" --trBatch 4 --valBatch 4 \
       --run_name "$name" "$@" 2>&1 | tee "/tmp/$name.log"
   $PY - "$thresh" "/tmp/$name.log" <<'PYEOF'
@@ -75,7 +89,7 @@ echo "== stage 1 (overfit-64) PASSED"
 if [[ "${1:-}" == "--anchors" || "${2:-}" == "--anchors" ]]; then
   for t in semseg human_parts sal edge normals; do
     echo "== single-task anchor: $t"
-    $PY -m m3vit_tpu.cli.train \
+    $PY -m m3vit_tpu.cli.train --config_env "$ENV_YML" \
         --config_exp "configs/pascal/resnet18/$t.yml" \
         --run_name "stl_$t" 2>&1 | tee "/tmp/stl_$t.log"
   done
@@ -86,10 +100,10 @@ fi
 if [[ "${1:-}" == "--flagship" || "${2:-}" == "--flagship" ]]; then
   echo "== flagship: ViT-small-MoE E16K4 5-task PASCAL (BASELINE.md row:"
   echo "   M3ViT-Multi 72.8/14.5/62.1/66.3/71.7, Δm +2.71%)"
-  $PY -m m3vit_tpu.cli.train \
+  $PY -m m3vit_tpu.cli.train --config_env "$ENV_YML" \
       --config_exp configs/pascal/vit_moe_small_multi_task.yml \
       --run_name flagship 2>&1 | tee /tmp/flagship.log
-  $PY -m m3vit_tpu.cli.train \
+  $PY -m m3vit_tpu.cli.train --config_env "$ENV_YML" \
       --config_exp configs/pascal/vit_moe_small_multi_task.yml \
       --run_name flagship --eval --save_predictions \
       --moe_eval_capacity_factor nodrop 2>&1 | tee /tmp/flagship_eval.log
