@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8,
                     help="per-chip batch (8 = the operating point the "
                          "driver measures)")
+    ap.add_argument("--dense_pallas", action="store_true",
+                    help="A/B: fused Pallas MLP in the dense blocks too")
     args = ap.parse_args()
 
     n_chips = len(jax.devices())
@@ -64,6 +66,7 @@ def main():
     model, tasks = build_flagship(
         mesh=mesh, expert_axis=expert_axis, dtype=jnp.bfloat16,
         use_checkpointing=False, capacity_factor=1.25,
+        use_pallas_dense_ffn=args.dense_pallas,
     )
     batch = synthetic_batch(jax.random.key(0), tasks, batch_size, (512, 512))
 

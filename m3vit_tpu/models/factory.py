@@ -79,6 +79,7 @@ def build_backbone(p, mesh=None, expert_axis: Optional[str] = "expert"):
                 p.get("moe_eval_capacity_factor", 4.0)),
             moe_gate_type=str(p.get("moe_gate_type", "noisy_vmoe")),
             use_pallas_ffn=bool(p.get("use_pallas_ffn", True)),
+            use_pallas_dense_ffn=bool(p.get("use_pallas_dense_ffn", False)),
             expert_weights_int8=bool(p.get("expert_weights_int8", False)),
             scan_blocks=bool(p.get("scan_blocks", False)),
             # research knobs (reference train_fastmoe.py:107-155 CLI flags)
@@ -96,7 +97,10 @@ def build_backbone(p, mesh=None, expert_axis: Optional[str] = "expert"):
         )
         return backbone, True
     if name in ("VisionTransformer", "VisionTransformer_dense"):
-        return VisionTransformer(**common), False
+        return VisionTransformer(
+            use_pallas_dense_ffn=bool(p.get("use_pallas_dense_ffn", False)),
+            **common,
+        ), False
 
     # CNN backbones (the reference main.py path, common_config.py:124-170)
     dilated = bool(kw.get("dilated", False))
@@ -279,6 +283,7 @@ def build_model(p, mesh=None, expert_axis: Optional[str] = "expert"):
             eval_capacity_factor=parse_capacity_factor(
                 p.get("moe_eval_capacity_factor", 4.0)),
             use_pallas_ffn=bool(p.get("use_pallas_ffn", True)),
+            use_pallas_dense_ffn=bool(p.get("use_pallas_dense_ffn", False)),
             mesh=mesh, expert_axis=expert_axis, dtype=dtype,
             use_checkpointing=bool(p.get("use_checkpointing", False)),
         )

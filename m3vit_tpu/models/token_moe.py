@@ -151,6 +151,7 @@ class TokenBlock(nn.Module):
     capacity_factor: float = 2.0
     eval_capacity_factor: float = 4.0
     use_pallas_ffn: bool = False
+    use_pallas_dense_ffn: bool = False  # fused MlpBlock in dense stages
     mesh: Any = None
     expert_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
@@ -223,7 +224,7 @@ class TokenBlock(nn.Module):
 
         if not self.moe:
             mlp = MlpBlock(int(C * self.mlp_ratio), dtype=self.dtype,
-                           name="mlp")
+                           use_pallas=self.use_pallas_dense_ffn, name="mlp")
             normed = norm2(outs.reshape(T * B, N, C))
             delta = mlp(normed.astype(self.dtype), train).reshape(T, B, N, C)
             outs = outs + delta * ts_mask[..., None].astype(delta.dtype)
@@ -443,6 +444,7 @@ class TokenVisionTransformerMoE(nn.Module):
     capacity_factor: float = 2.0
     eval_capacity_factor: float = 4.0
     use_pallas_ffn: bool = False
+    use_pallas_dense_ffn: bool = False
     mesh: Any = None
     expert_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
@@ -507,6 +509,7 @@ class TokenVisionTransformerMoE(nn.Module):
                 capacity_factor=self.capacity_factor,
                 eval_capacity_factor=self.eval_capacity_factor,
                 use_pallas_ffn=self.use_pallas_ffn,
+                use_pallas_dense_ffn=self.use_pallas_dense_ffn,
                 mesh=self.mesh, expert_axis=self.expert_axis,
                 use_task_conditioned_attn=self.use_task_conditioned_attn,
                 attn_num_experts=self.attn_num_experts,

@@ -127,17 +127,69 @@ class Attention(nn.Module):
         return out
 
 
+class _DenseParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Dense`` with the identical param tree
+    (``kernel``/``bias``), for MlpBlock's fused Pallas path which consumes raw
+    weight values instead of applying a module.  Keeping the tree identical
+    means checkpoints/interop are oblivious to which path computed."""
+
+    features: int
+    in_features: int
+    kernel_init: Any = trunc_normal_init
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", self.kernel_init, (self.in_features, self.features),
+            jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
 class MlpBlock(nn.Module):
-    """Dense transformer MLP (reference Mlp :245-261)."""
+    """Dense transformer MLP (reference Mlp :245-261).
+
+    ``use_pallas`` routes through the fused expert-FFN Pallas kernel
+    (ops/expert_ffn.py with a singleton expert axis): both GEMMs run back to
+    back in VMEM so the [T, hidden] activation never hits HBM, and the
+    backward recomputes it remat-style — same numerics (exact-erf GELU,
+    f32 accumulation) to bf16 rounding.  Falls back to the einsum path for
+    train-time dropout or when out_dim != in_dim (the kernel emits tokens in
+    the input feature width).  Off-TPU the kernel runs in interpreter mode
+    (slow; keeps the flag testable on CPU)."""
 
     hidden_dim: int
     out_dim: Optional[int] = None
     drop: float = 0.0
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         out_dim = self.out_dim or x.shape[-1]
+        fused = (
+            self.use_pallas
+            and out_dim == x.shape[-1]
+            and not (self.drop > 0 and train)
+        )
+        if fused:
+            from m3vit_tpu.ops.expert_ffn import (
+                fused_expert_ffn,
+                pallas_expert_ffn_available,
+            )
+
+            w1, b1 = _DenseParams(self.hidden_dim, x.shape[-1],
+                                  name="fc1")()
+            w2, b2 = _DenseParams(out_dim, self.hidden_dim, name="fc2")()
+            cd = self.dtype
+            h = x.reshape(1, -1, x.shape[-1]).astype(cd)
+            out = fused_expert_ffn(
+                h, w1[None].astype(cd), b1[None], w2[None].astype(cd),
+                b2[None], not pallas_expert_ffn_available(),
+            )
+            return out.reshape(x.shape)
         x = nn.Dense(
             self.hidden_dim, dtype=self.dtype, kernel_init=trunc_normal_init,
             name="fc1",
@@ -177,6 +229,7 @@ class DenseBlock(nn.Module):
     drop_path_rate: float = 0.0
     dtype: Dtype = jnp.float32
     mesh: Any = None  # enables the 'seq'-axis attention path when present
+    use_pallas_ffn: bool = False  # fused MLP kernel (see MlpBlock.use_pallas)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -194,7 +247,7 @@ class DenseBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         h = MlpBlock(
             int(x.shape[-1] * self.mlp_ratio), drop=self.drop, dtype=self.dtype,
-            name="mlp",
+            use_pallas=self.use_pallas_ffn, name="mlp",
         )(h.astype(self.dtype), train)
         return x + drop_path(h, self.drop_path_rate, train, dp_rng2)
 
@@ -217,6 +270,7 @@ class VisionTransformer(nn.Module):
     distilled: bool = False
     dtype: Dtype = jnp.float32
     use_checkpointing: bool = False
+    use_pallas_dense_ffn: bool = False
 
     @nn.compact
     def __call__(
@@ -264,6 +318,7 @@ class VisionTransformer(nn.Module):
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                 drop=self.drop_rate, attn_drop=self.attn_drop_rate,
-                drop_path_rate=dpr[i], dtype=self.dtype, name=f"block_{i}",
+                drop_path_rate=dpr[i], dtype=self.dtype,
+                use_pallas_ffn=self.use_pallas_dense_ffn, name=f"block_{i}",
             )(tokens, train)
         return tokens

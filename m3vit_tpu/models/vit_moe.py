@@ -626,6 +626,7 @@ class _BlockPair(nn.Module):
     patch_grid: Tuple[int, int]
     gate_type: str
     use_pallas_ffn: bool
+    use_pallas_dense_ffn: bool
     expert_weights_int8: bool
     cv_segments: int
     gate_input_ahead: bool
@@ -648,6 +649,7 @@ class _BlockPair(nn.Module):
             qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
             drop=self.drop, attn_drop=self.attn_drop,
             drop_path_rate=0.0, dtype=self.dtype, mesh=self.mesh,
+            use_pallas_ffn=self.use_pallas_dense_ffn,
             name="dense",
         )(tokens, train)
         tokens, cv, stats = MoEBlock(
@@ -721,6 +723,9 @@ class VisionTransformerMoE(nn.Module):
     regu_subimage: bool = False
     moe_gate_type: str = "noisy_vmoe"
     use_pallas_ffn: bool = False
+    # fused Pallas kernel for the DENSE blocks' MLPs too (vit.MlpBlock
+    # use_pallas: hidden activation stays in VMEM, remat-style backward)
+    use_pallas_dense_ffn: bool = False
     expert_weights_int8: bool = False
     # route with each MoE block's INPUT tokens instead of the post-norm2
     # stream (reference origin/vision_transformer_moe.py:276-277)
@@ -882,6 +887,7 @@ class VisionTransformerMoE(nn.Module):
                             self.img_size[1] // self.patch_size),
                 gate_type=self.moe_gate_type,
                 use_pallas_ffn=self.use_pallas_ffn,
+                use_pallas_dense_ffn=self.use_pallas_dense_ffn,
                 expert_weights_int8=self.expert_weights_int8,
                 cv_segments=n_stack,
                 gate_input_ahead=self.gate_input_ahead,
@@ -900,6 +906,7 @@ class VisionTransformerMoE(nn.Module):
                     qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                     drop=self.drop_rate, attn_drop=self.attn_drop_rate,
                     drop_path_rate=dpr[i], dtype=self.dtype, mesh=self.mesh,
+                    use_pallas_ffn=self.use_pallas_dense_ffn,
                     name=f"block_{i}",
                 )(tokens, train)
             else:
