@@ -154,7 +154,10 @@ def parse_args(argv=None):
     ap.add_argument("--use_pallas_dense_ffn", action="store_true",
                     help="fused Pallas MLP kernel in the DENSE ViT blocks "
                          "too (hidden activation stays in VMEM; backward "
-                         "recomputes it remat-style)")
+                         "recomputes it remat-style); default: on when "
+                         "running on TPU, off elsewhere")
+    ap.add_argument("--no_pallas_dense_ffn", action="store_true",
+                    help="disable the fused Pallas MLP in the dense blocks")
     ap.add_argument("--scan_blocks", action="store_true",
                     help="lax.scan over (dense, MoE) block pairs: one "
                          "compiled pair program instead of depth/2 inlined "
@@ -329,6 +332,8 @@ def run(args) -> Dict:
         overrides["use_pallas_ffn"] = False
     if args.use_pallas_dense_ffn:
         overrides["use_pallas_dense_ffn"] = True
+    if args.no_pallas_dense_ffn:
+        overrides["use_pallas_dense_ffn"] = False
     if args.scan_blocks:
         overrides["scan_blocks"] = True
     if args.stacked_tasks:

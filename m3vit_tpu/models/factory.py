@@ -31,6 +31,18 @@ from m3vit_tpu.models.vit_moe import VisionTransformerMoE
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
 
+def _dense_pallas_default(p) -> bool:
+    """use_pallas_dense_ffn default: on where the kernel is compiled (TPU),
+    off elsewhere (MlpBlock would fall back to slow interpreter mode on CPU).
+    Measured +0.8 img/s/chip on the flagship train step (28.2 -> 29.0)."""
+    v = p.get("use_pallas_dense_ffn")
+    if v is not None:
+        return bool(v)
+    from m3vit_tpu.ops.expert_ffn import pallas_expert_ffn_available
+
+    return pallas_expert_ffn_available()
+
+
 def _img_size(kw) -> tuple:
     v = kw.get("img_size", (512, 512))
     if isinstance(v, int):
@@ -79,7 +91,7 @@ def build_backbone(p, mesh=None, expert_axis: Optional[str] = "expert"):
                 p.get("moe_eval_capacity_factor", 4.0)),
             moe_gate_type=str(p.get("moe_gate_type", "noisy_vmoe")),
             use_pallas_ffn=bool(p.get("use_pallas_ffn", True)),
-            use_pallas_dense_ffn=bool(p.get("use_pallas_dense_ffn", False)),
+            use_pallas_dense_ffn=_dense_pallas_default(p),
             expert_weights_int8=bool(p.get("expert_weights_int8", False)),
             scan_blocks=bool(p.get("scan_blocks", False)),
             # research knobs (reference train_fastmoe.py:107-155 CLI flags)
@@ -98,7 +110,7 @@ def build_backbone(p, mesh=None, expert_axis: Optional[str] = "expert"):
         return backbone, True
     if name in ("VisionTransformer", "VisionTransformer_dense"):
         return VisionTransformer(
-            use_pallas_dense_ffn=bool(p.get("use_pallas_dense_ffn", False)),
+            use_pallas_dense_ffn=_dense_pallas_default(p),
             **common,
         ), False
 
@@ -283,7 +295,7 @@ def build_model(p, mesh=None, expert_axis: Optional[str] = "expert"):
             eval_capacity_factor=parse_capacity_factor(
                 p.get("moe_eval_capacity_factor", 4.0)),
             use_pallas_ffn=bool(p.get("use_pallas_ffn", True)),
-            use_pallas_dense_ffn=bool(p.get("use_pallas_dense_ffn", False)),
+            use_pallas_dense_ffn=_dense_pallas_default(p),
             mesh=mesh, expert_axis=expert_axis, dtype=dtype,
             use_checkpointing=bool(p.get("use_checkpointing", False)),
         )

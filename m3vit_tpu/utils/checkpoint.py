@@ -32,6 +32,11 @@ def save_checkpoint(
 ) -> None:
     os.makedirs(directory, exist_ok=True)
     mgr = _mgr(directory)
+    # overwrite semantics like the reference's torch.save (train_utils.py):
+    # orbax's force=True only bypasses save_interval, not an existing step —
+    # re-running into the same output dir would raise StepAlreadyExistsError
+    if epoch in mgr.all_steps():
+        mgr.delete(epoch)
     mgr.save(epoch, args=ocp.args.StandardSave({"state": state}), force=True)
     mgr.wait_until_finished()
     mgr.close()

@@ -105,6 +105,22 @@ def test_stop_at_epoch_boundary_runs_pending_epoch_end(tmp_path):
         np.testing.assert_allclose(b[s], a[s], rtol=0, atol=0)
 
 
+def test_save_checkpoint_overwrites_existing_step(tmp_path):
+    """Re-running into an existing output dir must overwrite, not crash:
+    orbax's force=True only bypasses save_interval — an existing step raised
+    StepAlreadyExistsError (reference torch.save overwrites,
+    train/train_utils.py save path)."""
+    from m3vit_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    d = str(tmp_path / "ckpt")
+    state = {"w": np.ones((3,), np.float32)}
+    save_checkpoint(d, state, epoch=0)
+    state2 = {"w": np.full((3,), 7.0, np.float32)}
+    save_checkpoint(d, state2, epoch=0)  # same step: must overwrite
+    restored, meta = restore_checkpoint(d, state, epoch=0)
+    np.testing.assert_array_equal(restored["w"], state2["w"])
+
+
 @pytest.mark.slow
 def test_sigterm_preemption_saves_and_resumes(tmp_path):
     """Preemption drill: SIGTERM mid-training -> clean exit with a step
