@@ -109,8 +109,9 @@ def test_session_bucketing(tiny):
     assert out.shape[0] == 3
     ref = _direct(model, variables, images, "semseg")
     np.testing.assert_allclose(out, ref[:3], rtol=1e-5, atol=1e-5)
-    # only the bucket that was needed got compiled
-    assert sess.compiled_keys == [("semseg", 4)]
+    # only the bucket that was needed got compiled (key = task, bucket,
+    # postprocess — postprocess variants are separate executables)
+    assert sess.compiled_keys == [("semseg", 4, False)]
     with pytest.raises(ValueError):
         sess.predict(images, "normals")
 
@@ -192,7 +193,7 @@ def test_session_warmup_compiles_all(tiny):
     sess = InferenceSession(model, variables, tasks=["edge"],
                             img_size=(IMG, IMG), buckets=(1, 2))
     sess.warmup()
-    assert sess.compiled_keys == [("edge", 1), ("edge", 2)]
+    assert sess.compiled_keys == [("edge", 1, False), ("edge", 2, False)]
     # padded single-image request through the warm executable
     images = jax.random.normal(jax.random.key(4), (1, IMG, IMG, 3))
     out = sess.predict(images, "edge")
