@@ -67,7 +67,9 @@ def main():
     model, tasks = build_flagship(
         mesh=mesh, expert_axis=expert_axis, dtype=jnp.bfloat16,
         use_checkpointing=False, capacity_factor=1.25,
-        use_pallas_dense_ffn=not args.no_dense_pallas,
+        # None = backend auto-detect (kernel on TPU, Dense path elsewhere);
+        # forcing True off-TPU would hit the slow interpret path (ADVICE r2)
+        use_pallas_dense_ffn=False if args.no_dense_pallas else None,
     )
     batch = synthetic_batch(jax.random.key(0), tasks, batch_size, (512, 512))
 

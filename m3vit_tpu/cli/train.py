@@ -330,6 +330,10 @@ def run(args) -> Dict:
             overrides[k] = getattr(args, k)
     if args.no_pallas_ffn:
         overrides["use_pallas_ffn"] = False
+    if args.use_pallas_dense_ffn and args.no_pallas_dense_ffn:
+        raise SystemExit(
+            "--use_pallas_dense_ffn and --no_pallas_dense_ffn are "
+            "contradictory; pass at most one")
     if args.use_pallas_dense_ffn:
         overrides["use_pallas_dense_ffn"] = True
     if args.no_pallas_dense_ffn:

@@ -204,6 +204,14 @@ def eval_saved_predictions(p, save_dir: str, dataset) -> Dict:
                 if img.ndim == 3:
                     img = img[:, :, ::-1]  # BGR -> RGB (normals)
                 pred = img.astype(np.float32)
+                if task == "normals":
+                    # reference folder protocol (eval_normals.py:38-40):
+                    # dequantize and RE-normalize the uint8-quantized vectors
+                    # before scoring (the meter itself does not renormalize)
+                    vec = 2.0 * pred / 255.0 - 1.0
+                    norm = np.linalg.norm(vec, ord=2, axis=2)[..., None]
+                    vec = vec / (norm + 1e-12)
+                    pred = (vec + 1.0) * 255.0 / 2.0
             gt = np.asarray(sample[task], np.float32)
             if gt.ndim == 3 and gt.shape[-1] == 1:
                 gt = gt[..., 0]

@@ -111,6 +111,7 @@ def build_backbone(p, mesh=None, expert_axis: Optional[str] = "expert"):
     if name in ("VisionTransformer", "VisionTransformer_dense"):
         return VisionTransformer(
             use_pallas_dense_ffn=_dense_pallas_default(p),
+            mesh=mesh,
             **common,
         ), False
 

@@ -127,6 +127,17 @@ class Attention(nn.Module):
         return out
 
 
+@functools.lru_cache(maxsize=1)
+def _warn_dense_pallas_unavailable_once() -> None:
+    import logging
+
+    logging.getLogger("m3vit_tpu").warning(
+        "use_pallas_dense_ffn requested but the Pallas TPU kernel is not "
+        "available on backend %r — using the nn.Dense MLP path instead "
+        "(numerics identical).", jax.default_backend(),
+    )
+
+
 class _DenseParams(nn.Module):
     """Parameter-only stand-in for ``nn.Dense`` with the identical param tree
     (``kernel``/``bias``), for MlpBlock's fused Pallas path which consumes raw
@@ -157,14 +168,18 @@ class MlpBlock(nn.Module):
     backward recomputes it remat-style — same numerics (exact-erf GELU,
     f32 accumulation) to bf16 rounding.  Falls back to the einsum path for
     train-time dropout or when out_dim != in_dim (the kernel emits tokens in
-    the input feature width).  Off-TPU the kernel runs in interpreter mode
-    (slow; keeps the flag testable on CPU)."""
+    the input feature width).  When the flag is set off-TPU the block warns
+    once and uses the nn.Dense path (interpret mode is reachable only via
+    the ops.expert_ffn test hook); on a >1-device ``mesh`` the kernel runs
+    inside shard_map (GSPMD cannot partition a top-level pallas_call)."""
 
     hidden_dim: int
     out_dim: Optional[int] = None
     drop: float = 0.0
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    mesh: Any = None
+    seq_axis: str = "seq"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -176,18 +191,23 @@ class MlpBlock(nn.Module):
         )
         if fused:
             from m3vit_tpu.ops.expert_ffn import (
-                fused_expert_ffn,
-                pallas_expert_ffn_available,
+                dense_mlp_fused_mode,
+                fused_dense_mlp,
             )
 
+            mode = dense_mlp_fused_mode()
+            if mode is None:
+                _warn_dense_pallas_unavailable_once()
+                fused = False
+        if fused:
             w1, b1 = _DenseParams(self.hidden_dim, x.shape[-1],
                                   name="fc1")()
             w2, b2 = _DenseParams(out_dim, self.hidden_dim, name="fc2")()
             cd = self.dtype
-            h = x.reshape(1, -1, x.shape[-1]).astype(cd)
-            out = fused_expert_ffn(
-                h, w1[None].astype(cd), b1[None], w2[None].astype(cd),
-                b2[None], not pallas_expert_ffn_available(),
+            out = fused_dense_mlp(
+                x.astype(cd), w1.astype(cd), b1, w2.astype(cd), b2,
+                interpret=mode == "interpret", mesh=self.mesh,
+                seq_axis=self.seq_axis,
             )
             return out.reshape(x.shape)
         x = nn.Dense(
@@ -247,7 +267,7 @@ class DenseBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         h = MlpBlock(
             int(x.shape[-1] * self.mlp_ratio), drop=self.drop, dtype=self.dtype,
-            use_pallas=self.use_pallas_ffn, name="mlp",
+            use_pallas=self.use_pallas_ffn, mesh=self.mesh, name="mlp",
         )(h.astype(self.dtype), train)
         return x + drop_path(h, self.drop_path_rate, train, dp_rng2)
 
@@ -271,6 +291,7 @@ class VisionTransformer(nn.Module):
     dtype: Dtype = jnp.float32
     use_checkpointing: bool = False
     use_pallas_dense_ffn: bool = False
+    mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -318,7 +339,7 @@ class VisionTransformer(nn.Module):
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                 drop=self.drop_rate, attn_drop=self.attn_drop_rate,
-                drop_path_rate=dpr[i], dtype=self.dtype,
+                drop_path_rate=dpr[i], dtype=self.dtype, mesh=self.mesh,
                 use_pallas_ffn=self.use_pallas_dense_ffn, name=f"block_{i}",
             )(tokens, train)
         return tokens

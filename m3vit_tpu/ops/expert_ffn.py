@@ -14,7 +14,7 @@ with einsum-based grads (recomputing the hidden activation, remat-style).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +28,84 @@ _INV_SQRT_2PI = np.float32(1.0 / np.sqrt(2.0 * np.pi))
 
 def pallas_expert_ffn_available() -> bool:
     return jax.default_backend() in ("tpu", "axon")
+
+
+# Test hook: lets CPU tests exercise the fused dense-MLP path in Pallas
+# interpret mode.  Production code never sets this — off-TPU the MlpBlock
+# falls back to the nn.Dense path instead of silently running the
+# interpreter (ADVICE r2).
+_FORCE_INTERPRET_FOR_TESTS = False
+
+
+def dense_mlp_fused_mode() -> Optional[str]:
+    """How MlpBlock.use_pallas should execute: 'kernel' on TPU backends,
+    'interpret' when the test hook is set, None = fall back to nn.Dense."""
+    if pallas_expert_ffn_available():
+        return "kernel"
+    if _FORCE_INTERPRET_FOR_TESTS:
+        return "interpret"
+    return None
+
+
+def fused_dense_mlp(
+    x: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    *,
+    interpret: bool = False,
+    mesh=None,
+    seq_axis: str = "seq",
+) -> jnp.ndarray:
+    """Tokenwise fused MLP on [B, N, C] via the expert kernel (E=1).
+
+    Under GSPMD a top-level ``pallas_call`` cannot be partitioned — on a
+    >1-device mesh XLA would fail or replicate the full token tensor per
+    chip (ADVICE r2, models/vit.py finding).  The MLP is embarrassingly
+    token-parallel, so on a multi-device mesh this opens a ``shard_map``
+    region matching the surrounding program's activation sharding (batch
+    over every non-seq axis, sequence over ``seq_axis``) with replicated
+    weights; single-device meshes skip shard_map entirely.
+    """
+    B, N, _ = x.shape
+
+    def local(xs):
+        h = xs.reshape(1, -1, xs.shape[-1])
+        out = fused_expert_ffn(
+            h, w1[None], b1[None], w2[None], b2[None], interpret)
+        return out.reshape(xs.shape)
+
+    if mesh is None or mesh.size <= 1:
+        return local(x)
+
+    from jax.sharding import PartitionSpec as P
+
+    batch_axes = tuple(
+        a for a in mesh.axis_names if a != seq_axis and mesh.shape[a] > 1)
+    seq_sharded = mesh.shape.get(seq_axis, 1) > 1
+    nb = 1
+    for a in batch_axes:
+        nb *= mesh.shape[a]
+    ns = mesh.shape.get(seq_axis, 1)
+    if B % max(nb, 1) == 0 and N % ns == 0:
+        x_spec = P(batch_axes or None, seq_axis if seq_sharded else None, None)
+    else:
+        # shapes indivisible by the mesh (unusual): run the kernel
+        # replicated inside shard_map — still correct, never unpartitionable
+        x_spec = P(None, None, None)
+    w_spec = (P(None, None), P(None), P(None, None), P(None))
+
+    def body(xs, w1s, b1s, w2s, b2s):
+        h = xs.reshape(1, -1, xs.shape[-1])
+        out = fused_expert_ffn(
+            h, w1s[None], b1s[None], w2s[None], b2s[None], interpret)
+        return out.reshape(xs.shape)
+
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=(x_spec,) + w_spec, out_specs=x_spec,
+        check_vma=False,
+    )(x, w1, b1, w2, b2)
 
 
 def _pick_block(c: int, preferred: int = 512) -> int:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Dict, Optional, Tuple
 
 import orbax.checkpoint as ocp
@@ -30,16 +31,35 @@ def _mgr(directory: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
 def save_checkpoint(
     directory: str, state, epoch: int, extra: Optional[Dict] = None
 ) -> None:
+    """Save with overwrite semantics like the reference's torch.save
+    (train_utils.py) — but crash-safe: when the step already exists, the new
+    checkpoint is first fully committed under a staging root and only then
+    swapped in (two same-filesystem renames).  A naive delete-then-save
+    would destroy the only valid copy of that step if the process died
+    mid-save — exactly the SIGTERM-preemption window this path serves
+    (ADVICE r2)."""
     os.makedirs(directory, exist_ok=True)
     mgr = _mgr(directory)
-    # overwrite semantics like the reference's torch.save (train_utils.py):
-    # orbax's force=True only bypasses save_interval, not an existing step —
-    # re-running into the same output dir would raise StepAlreadyExistsError
-    if epoch in mgr.all_steps():
-        mgr.delete(epoch)
-    mgr.save(epoch, args=ocp.args.StandardSave({"state": state}), force=True)
-    mgr.wait_until_finished()
-    mgr.close()
+    exists = epoch in mgr.all_steps()
+    if not exists:
+        mgr.save(epoch, args=ocp.args.StandardSave({"state": state}),
+                 force=True)
+        mgr.wait_until_finished()
+        mgr.close()
+    else:
+        mgr.close()
+        staging_root = os.path.join(directory, ".staging")
+        shutil.rmtree(staging_root, ignore_errors=True)
+        smgr = _mgr(staging_root)
+        smgr.save(epoch, args=ocp.args.StandardSave({"state": state}),
+                  force=True)
+        smgr.wait_until_finished()
+        smgr.close()
+        old = os.path.join(directory, str(epoch))
+        trash = os.path.join(directory, ".staging", f"_old_{epoch}")
+        os.rename(old, trash)
+        os.rename(os.path.join(staging_root, str(epoch)), old)
+        shutil.rmtree(staging_root, ignore_errors=True)
     with open(os.path.join(directory, f"meta_{epoch}.json"), "w") as f:
         json.dump({"epoch": epoch, **(extra or {})}, f)
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from m3vit_tpu.moe.dispatch import MoEFfnParams, expert_ffn_dense
 from m3vit_tpu.ops.expert_ffn import fused_expert_ffn, make_pallas_ffn_fn
@@ -63,7 +64,16 @@ def test_ffn_fn_hook_in_dispatch():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
-def test_mlpblock_use_pallas_matches_dense_path():
+@pytest.fixture
+def force_interpret(monkeypatch):
+    """CPU tests exercise the fused dense-MLP path via the interpret hook
+    (production off-TPU behavior is a warn-once nn.Dense fallback)."""
+    from m3vit_tpu.ops import expert_ffn
+
+    monkeypatch.setattr(expert_ffn, "_FORCE_INTERPRET_FOR_TESTS", True)
+
+
+def test_mlpblock_use_pallas_matches_dense_path(force_interpret):
     """The dense-block MLP's fused path (MlpBlock.use_pallas, E=1 reuse of
     the expert kernel) must match the nn.Dense/gelu path in outputs, grads,
     AND param-tree structure (checkpoints are path-compatible)."""
@@ -97,7 +107,62 @@ def test_mlpblock_use_pallas_matches_dense_path():
                                    rtol=1e-3)
 
 
-def test_mlpblock_use_pallas_fallbacks():
+def test_mlpblock_use_pallas_off_tpu_falls_back_to_dense(caplog):
+    """Without the test hook, use_pallas=True on a non-TPU backend must use
+    the nn.Dense path (identical numerics) and warn once — NOT silently run
+    the Pallas interpreter (ADVICE r2)."""
+    import logging
+
+    from m3vit_tpu.models import vit as vit_mod
+    from m3vit_tpu.models.vit import MlpBlock
+
+    vit_mod._warn_dense_pallas_unavailable_once.cache_clear()
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 12, 16).astype(np.float32))
+    ref_mod = MlpBlock(hidden_dim=32, dtype=jnp.float32)
+    fus_mod = MlpBlock(hidden_dim=32, dtype=jnp.float32, use_pallas=True)
+    v = ref_mod.init(jax.random.key(0), x)
+    with caplog.at_level(logging.WARNING, logger="m3vit_tpu"):
+        out = fus_mod.apply(v, x)
+    assert any("use_pallas_dense_ffn" in r.message for r in caplog.records)
+    # exact equality: it IS the Dense path
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(ref_mod.apply(v, x)))
+
+
+def test_mlpblock_fused_under_multichip_mesh(force_interpret, mesh8):
+    """ADVICE r2 (medium): on a >1-device mesh the fused MLP must run inside
+    shard_map (a top-level pallas_call is unpartitionable under GSPMD).
+    Checks output + grads vs the Dense path with batch sharded over the
+    mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from m3vit_tpu.models.vit import MlpBlock
+
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(8, 12, 16).astype(np.float32))
+    ref_mod = MlpBlock(hidden_dim=32, dtype=jnp.float32)
+    fus_mod = MlpBlock(hidden_dim=32, dtype=jnp.float32, use_pallas=True,
+                       mesh=mesh8)
+    v = ref_mod.init(jax.random.key(0), x)
+    xs = jax.device_put(x, NamedSharding(mesh8, P(("data", "expert"))))
+
+    out = jax.jit(fus_mod.apply)(v, xs)
+    ref = ref_mod.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=1e-5)
+
+    def loss(mod, v, x):
+        return jnp.sum(mod.apply(v, x) ** 2)
+
+    g_fus = jax.jit(jax.grad(lambda v: loss(fus_mod, v, xs)))(v)
+    g_ref = jax.grad(lambda v: loss(ref_mod, v, x))(v)
+    for a, b in zip(jax.tree.leaves(g_fus), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3,
+                                   rtol=1e-3)
+
+
+def test_mlpblock_use_pallas_fallbacks(force_interpret):
     """Dropout-in-train and out_dim != in_dim must route through the
     einsum/Dense path (the kernel cannot express either)."""
     from m3vit_tpu.models.vit import MlpBlock
