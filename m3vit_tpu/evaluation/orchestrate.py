@@ -194,6 +194,26 @@ def eval_saved_predictions(p, save_dir: str, dataset) -> Dict:
         sample = dataset[i]
         im_id = dataset.im_ids[i] if hasattr(dataset, "im_ids") else str(i)
         for task in tasks:
+            gt = np.asarray(sample[task], np.float32)
+            if gt.ndim == 3 and gt.shape[-1] == 1:
+                gt = gt[..., 0]
+            if task == "human_parts":
+                # reference folder protocol (eval_human_parts.py:36-40):
+                # images whose raw GT is all-background or all-ignore are
+                # skipped entirely (the saver also skips them, so the file
+                # may not exist)
+                uniq = np.unique(gt)
+                if len(uniq) == 1 and uniq[0] in (0.0, 255.0):
+                    continue
+            if task == "normals":
+                # reference folder protocol (eval_normals.py:47-53): valid
+                # pixels are where the RAW label has nonzero norm (the
+                # distilled loader zeroes invalid pixels, not 255); the
+                # label is re-normalized over valid pixels.  Map invalid
+                # pixels to the meter's 255-ignore convention.
+                norm = np.linalg.norm(gt, ord=2, axis=2, keepdims=True)
+                valid = norm[..., 0] != 0
+                gt = np.where(valid[..., None], gt / (norm + 1e-12), 255.0)
             fname = os.path.join(save_dir, task, im_id)
             if task == "depth":
                 pred = sio.loadmat(fname + ".mat")["depth"].astype(np.float32)
@@ -212,9 +232,6 @@ def eval_saved_predictions(p, save_dir: str, dataset) -> Dict:
                     norm = np.linalg.norm(vec, ord=2, axis=2)[..., None]
                     vec = vec / (norm + 1e-12)
                     pred = (vec + 1.0) * 255.0 / 2.0
-            gt = np.asarray(sample[task], np.float32)
-            if gt.ndim == 3 and gt.shape[-1] == 1:
-                gt = gt[..., 0]
             meter.meters[task].update(pred[None], gt[None])
     results = meter.get_score()
     if "edge" in tasks and p.get("eval_edge_odsF", True):
