@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 TARGET_IMGS_PER_SEC_PER_CHIP = 24.0  # 3x estimated A100+fastmoe (see docstring)
+V5E_PEAK_BF16_FLOPS = 197e12  # TPU v5e public peak, bf16/chip — MFU denominator
 
 # persistent compile cache: the flagship step takes ~4 min to compile cold
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -95,6 +96,24 @@ def main():
                            donate=True)
 
     rng = jax.random.key(2)
+
+    # measured FLOP count of the full compiled step (fwd+bwd+SGD) via XLA
+    # cost analysis — the basis for the honest MFU number (VERDICT r2 #3).
+    # Custom Pallas kernels contribute their declared cost estimates
+    # (ops/flash_attention.py, ops/expert_ffn.py).  This populates the same
+    # persistent compile cache the jit call below hits, so the compile is
+    # paid once.
+    step_flops = None
+    try:
+        ca = step.lower(state, batch, rng).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        step_flops = float(ca.get("flops", -1.0))
+        if step_flops <= 0:
+            step_flops = None
+    except Exception:
+        step_flops = None
+
     # warmup / compile; float() is the barrier (block_until_ready is not
     # reliable under the axon loopback relay)
     for _ in range(2):
@@ -110,18 +129,26 @@ def main():
 
     imgs_per_sec = batch_size * n_steps / dt
     per_chip = imgs_per_sec / n_chips
+    step_ms = dt / n_steps * 1000.0
     suffix = "" if batch_per_chip == 8 else f"_b{batch_per_chip}"
-    print(
-        json.dumps(
-            {
-                "metric":
-                    "train_throughput_vit_small_moe_e16k4_5task_512" + suffix,
-                "value": round(per_chip, 3),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(per_chip / TARGET_IMGS_PER_SEC_PER_CHIP, 4),
-            }
-        )
-    )
+    record = {
+        "metric":
+            "train_throughput_vit_small_moe_e16k4_5task_512" + suffix,
+        "value": round(per_chip, 3),
+        "unit": "images/sec/chip",
+        # vs the ESTIMATED 24 img/s/chip target (see docstring); the
+        # measured anchor is the mfu field below
+        "vs_baseline": round(per_chip / TARGET_IMGS_PER_SEC_PER_CHIP, 4),
+        "step_ms": round(step_ms, 1),
+    }
+    if step_flops is not None:
+        # v5e bf16 peak: 197 TFLOP/s/chip (public spec). step_flops is the
+        # XLA cost analysis of the whole compiled program (fwd+bwd+SGD,
+        # incl. declared Pallas kernel costs) for the global batch.
+        achieved = step_flops / (dt / n_steps) / n_chips
+        record["tflops_per_sec_per_chip"] = round(achieved / 1e12, 1)
+        record["mfu"] = round(achieved / V5E_PEAK_BF16_FLOPS, 4)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
