@@ -47,6 +47,11 @@ def main():
     ap.add_argument("--no_dense_pallas", action="store_true",
                     help="A/B: disable the fused Pallas MLP in the dense "
                          "blocks (28.2 img/s vs 29.0 with it, v5e-1)")
+    ap.add_argument("--scan_tasks", action="store_true",
+                    help="A/B: lax.scan the per-task passes (scan-of-remat; "
+                         "compile-time lever — see PARITY.md)")
+    ap.add_argument("--scan_blocks", action="store_true",
+                    help="A/B: lax.scan the dense/MoE block pairs")
     args = ap.parse_args()
 
     n_chips = len(jax.devices())
@@ -71,6 +76,7 @@ def main():
         # None = backend auto-detect (kernel on TPU, Dense path elsewhere);
         # forcing True off-TPU would hit the slow interpret path (ADVICE r2)
         use_pallas_dense_ffn=False if args.no_dense_pallas else None,
+        scan_tasks=args.scan_tasks, scan_blocks=args.scan_blocks,
     )
     batch = synthetic_batch(jax.random.key(0), tasks, batch_size, (512, 512))
 
@@ -131,6 +137,12 @@ def main():
     per_chip = imgs_per_sec / n_chips
     step_ms = dt / n_steps * 1000.0
     suffix = "" if batch_per_chip == 8 else f"_b{batch_per_chip}"
+    if args.scan_tasks:
+        suffix += "_scan_tasks"
+    if args.scan_blocks:
+        suffix += "_scan_blocks"
+    if args.no_dense_pallas:
+        suffix += "_no_dense_pallas"
     record = {
         "metric":
             "train_throughput_vit_small_moe_e16k4_5task_512" + suffix,

@@ -61,6 +61,11 @@ def parse_args(argv=None):
                     help="lax.scan the per-task multi-gate backbone passes "
                          "(one compiled backbone program instead of T; same "
                          "params/metrics, sequential-loop working set)")
+    ap.add_argument("--no_scan_tasks_remat", action="store_true",
+                    help="disable the scan-of-remat composition inside "
+                         "--scan_tasks; without remat lax.scan stacks all "
+                         "T tasks' residuals and OOMs at the flagship point "
+                         "(only for small shapes / memory studies)")
     ap.add_argument("--remat_heads", action="store_true",
                     help="rematerialize decoder heads in backward (the PUP "
                          "heads dominate HBM; frees memory for larger B)")
@@ -344,6 +349,8 @@ def run(args) -> Dict:
         overrides["stacked_tasks"] = True
     if args.scan_tasks:
         overrides["scan_tasks"] = True
+    if args.no_scan_tasks_remat:
+        overrides["scan_tasks_remat"] = False
     if args.remat_heads:
         overrides["remat_heads"] = True
     if args.overfit:

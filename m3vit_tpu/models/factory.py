@@ -344,5 +344,6 @@ def build_model(p, mesh=None, expert_axis: Optional[str] = "expert"):
         num_outputs={t.name: t.num_output for t in p["TASKS"]},
         stacked_tasks=bool(p.get("stacked_tasks", False)),
         scan_tasks=bool(p.get("scan_tasks", False)),
+        scan_tasks_remat=bool(p.get("scan_tasks_remat", True)),
         remat_heads=bool(p.get("remat_heads", False)),
     )

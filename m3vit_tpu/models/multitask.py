@@ -67,6 +67,14 @@ class MultiTaskModel(nn.Module):
     # (same working set as the sequential loop).  Parameters are identical
     # to the sequential form, so checkpoints are interchangeable.
     scan_tasks: bool = False
+    # remat the scan_tasks body (scan-of-remat): without it lax.scan stacks
+    # every per-task backbone residual as [T, ...] — at the flagship point
+    # (B=8, 512², T=5, no block remat) those residuals exceed the 16 GB
+    # chip and the step OOMs.  With it, only each task's block inputs are
+    # saved and the backward replays the pass, so the working set matches
+    # the sequential loop (one task in flight) at the cost of one extra
+    # forward per task.  Numerics are exact either way.
+    scan_tasks_remat: bool = True
     # rematerialize the decoder heads in the backward pass.  The PUP heads'
     # 512²x256ch conv activations dominate the train step's HBM footprint
     # (~14.7 GB at B=8 without remat on a 16 GB chip); trading their
@@ -150,6 +158,11 @@ class MultiTaskModel(nn.Module):
                 else:
                     ret = mdl(x, task_id=tid, train=train)
                 return carry, ret
+
+            if self.scan_tasks_remat:
+                # prevent_cse is only needed for remat at jit top level;
+                # inside scan it is safe off and compiles leaner
+                body = nn.remat(body, prevent_cse=False)
 
             scan = nn.scan(
                 body,

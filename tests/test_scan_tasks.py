@@ -14,7 +14,7 @@ from m3vit_tpu.models.vit_moe import VisionTransformerMoE
 TASKS = ["semseg", "sal"]
 
 
-def _model(scan_tasks=False, scan_blocks=False):
+def _model(scan_tasks=False, scan_blocks=False, scan_tasks_remat=True):
     backbone = VisionTransformerMoE(
         img_size=(32, 32), patch_size=8, embed_dim=64, depth=4,
         num_heads=4, mlp_ratio=2.0, qkv_bias=True, moe_mlp_ratio=1.0,
@@ -31,7 +31,8 @@ def _model(scan_tasks=False, scan_blocks=False):
         for t, c in zip(TASKS, (21, 1))
     }
     return MultiTaskModel(backbone=backbone, decoders=decoders, tasks=TASKS,
-                          multi_gate=True, scan_tasks=scan_tasks)
+                          multi_gate=True, scan_tasks=scan_tasks,
+                          scan_tasks_remat=scan_tasks_remat)
 
 
 @pytest.fixture(scope="module")
@@ -70,6 +71,31 @@ def test_scan_tasks_matches_loop_gradients(img):
     assert jnp.allclose(l1, l2, atol=1e-5), (float(l1), float(l2))
     jax.tree.map(
         lambda a, b: None if jnp.allclose(a, b, atol=2e-4)
+        else pytest.fail(f"grad mismatch {jnp.abs(a - b).max()}"),
+        g1, g2)
+
+
+def test_scan_tasks_remat_gradients_exact(img):
+    """scan-of-remat (the default, which makes scan_tasks fit the flagship
+    memory budget) must give bit-identical losses and matching grads vs the
+    no-remat scan."""
+    remat = _model(scan_tasks=True)
+    plain = _model(scan_tasks=True, scan_tasks_remat=False)
+    v = remat.init({"params": jax.random.key(5)}, img, train=False)
+
+    def loss(m, p):
+        (out, cv, _), _ = m.apply(
+            {"params": p, "batch_stats": v["batch_stats"]}, img, train=True,
+            rngs={"gate_noise": jax.random.key(6)},
+            mutable=["batch_stats"])
+        return sum((o.astype(jnp.float32) ** 2).mean()
+                   for o in out.values()) + 0.01 * cv
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(remat, p))(v["params"])
+    l2, g2 = jax.value_and_grad(lambda p: loss(plain, p))(v["params"])
+    assert l1 == l2, (float(l1), float(l2))
+    jax.tree.map(
+        lambda a, b: None if jnp.allclose(a, b, atol=2e-5)
         else pytest.fail(f"grad mismatch {jnp.abs(a - b).max()}"),
         g1, g2)
 
