@@ -49,12 +49,36 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BQ = 128      # q rows per grid step (MXU-aligned)
+_BQ = 128      # token-axis padding quantum (and the minimum q tile)
 _LANES = 128   # block width; programs process _LANES // head_dim heads
+
+#: Optional overrides for the q-tile sizes (None = auto-pick, see _pick_bq).
+#: Big tiles win: at the flagship shape (N=1025 -> NP=1152) fwd runs as ONE
+#: 1152-row tile and bwd as two 576-row tiles — 1.91 -> 1.53 ms fwd+bwd vs
+#: 128-row tiles (scripts/bench_flash_bq.py, v5e).  The auto-pick caps the
+#: f32 score-row working set so kernels stay inside the ~16 MB scoped VMEM
+#: (BQ=1152 backward exceeds it and fails to compile).
+_BQ_FWD: Optional[int] = None
+_BQ_BWD: Optional[int] = None
+_FWD_VMEM_ROWS = 12 * 1024 * 1024 // 8    # s f32 + p bf16 + temps per row-col
+_BWD_VMEM_ROWS = 12 * 1024 * 1024 // 16   # s/p/dp/ds f32 per row-col
 
 
 def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _pick_bq(np_: int, cap_rows: int, override: Optional[int]) -> int:
+    """Largest 8-row-aligned q tile that divides the padded extent and keeps
+    the per-program f32 [bq, np_] row blocks under the scoped-VMEM budget
+    (np_ is always a multiple of 128, so at least bq=128 is reachable)."""
+    if override:
+        bq = min(override, np_)
+    else:
+        bq = min(np_, max(_BQ, cap_rows // np_ // 8 * 8))
+    while np_ % bq or bq % 8:
+        bq -= 8
+    return bq
 
 
 def supported(num_heads: int, head_dim: int) -> bool:
@@ -153,11 +177,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _group_specs(hb: int, np_: int):
+def _group_specs(hb: int, np_: int, bq: int):
     """Specs for q/k/v 128-lane head-group column blocks of [B, NP, 3C],
     where C = hb * 128 (hb = number of head groups)."""
     return [
-        pl.BlockSpec((1, _BQ, _LANES), lambda b, g, j: (b, j, g),
+        pl.BlockSpec((1, bq, _LANES), lambda b, g, j: (b, j, g),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, np_, _LANES), lambda b, g, j: (b, 0, hb + g),
                      memory_space=pltpu.VMEM),
@@ -180,17 +204,18 @@ def _fwd(qkv, num_heads, scale, interpret, valid):
     hb = C // _LANES                  # head groups (128-lane blocks) per C
     hpg = _LANES // d                 # heads per group
     np_ = _ceil_to(N, _BQ)
+    bq = _pick_bq(np_, _FWD_VMEM_ROWS, _BQ_FWD)
     qkvp = _pad_tokens(qkv, np_)
-    nq = np_ // _BQ
+    nq = np_ // bq
     kernel = functools.partial(_fwd_kernel, scale=scale, n_valid=valid, d=d)
     o, lse = pl.pallas_call(
         kernel,
         grid=(B, hb, nq),
-        in_specs=_group_specs(hb, np_),
+        in_specs=_group_specs(hb, np_, bq),
         out_specs=[
-            pl.BlockSpec((1, _BQ, _LANES), lambda b, g, j: (b, j, g),
+            pl.BlockSpec((1, bq, _LANES), lambda b, g, j: (b, j, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BQ, 8 * hpg),
+            pl.BlockSpec((1, bq, 8 * hpg),
                          lambda b, g, j: (b * hb + g, j, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -213,21 +238,22 @@ def _bwd(qkvp, o, lse, dout, N, num_heads, scale, interpret, valid):
     d = C // num_heads
     hb = C // _LANES
     hpg = _LANES // d
-    nq = np_ // _BQ
+    bq = _pick_bq(np_, _BWD_VMEM_ROWS, _BQ_BWD)
+    nq = np_ // bq
     dop = _pad_tokens(dout, np_)
     kernel = functools.partial(_bwd_kernel, scale=scale, n_valid=valid, d=d,
                                nq=nq)
-    tile = pl.BlockSpec((1, _BQ, _LANES), lambda b, g, j: (b, j, g),
+    tile = pl.BlockSpec((1, bq, _LANES), lambda b, g, j: (b, j, g),
                         memory_space=pltpu.VMEM)
     resident = pl.BlockSpec((1, np_, _LANES), lambda b, g, j: (b, 0, g),
                             memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(B, hb, nq),
-        in_specs=_group_specs(hb, np_) + [
+        in_specs=_group_specs(hb, np_, bq) + [
             tile,                                     # o
             tile,                                     # do
-            pl.BlockSpec((1, _BQ, 8 * hpg),
+            pl.BlockSpec((1, bq, 8 * hpg),
                          lambda b, g, j: (b * hb + g, j, 0),
                          memory_space=pltpu.VMEM),    # lse
         ],

@@ -1,9 +1,13 @@
-"""Sweep the flash-attention q-block size (_BQ) fwd+bwd at the flagship
-shape.  BQ trades grid-step count (per-tile fixed overhead, dk/dv
-accumulator revisits in the single-kernel backward) against token-axis
-padding (N=1025 pads to 1152 at BQ=128, 1280 at BQ=256, 1536 at BQ=512).
+"""Sweep the flash-attention q-tile size fwd+bwd at the flagship shape.
 
-Usage: python scripts/bench_flash_bq.py [--iters 30] [--bqs 128,256,512]
+Token padding is fixed at ceil(N/128)*128 (1025 -> 1152); the q tile only
+sets how many rows each grid step processes.  Bigger tiles amortize
+per-tile overheads and keep the MXU pipelined (measured v5e: 1.91 ms/iter
+at 128 -> 1.60 at the fwd-1152/bwd-576 auto-pick); the ceiling is the
+~16 MB scoped VMEM, which the auto-pick (bq=0) respects per direction.
+
+Usage: python scripts/bench_flash_bq.py [--iters 30] [--bqs 0,128,384,576]
+       (bq=0 = the shipped auto-pick policy)
 """
 
 from __future__ import annotations
@@ -30,7 +34,9 @@ SCALE = D ** -0.5
 def bench(iters: int, bq: int) -> float:
     import m3vit_tpu.ops.flash_attention as fa
 
-    fa._BQ = bq  # read at trace time by _fwd/_bwd/_group_specs
+    # read at trace time by _pick_bq; bq=0 means the auto-pick policy
+    fa._BQ_FWD = bq or None
+    fa._BQ_BWD = bq or None
 
     key = jax.random.key(0)
     qkv = jax.random.normal(key, (B, N, 3 * C), jnp.bfloat16)
