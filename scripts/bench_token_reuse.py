@@ -33,6 +33,14 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--config", default="configs/pascal/token_moe_multi_task.yml")
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--eval_cf", type=float, default=None,
+                    help="override moe_eval_capacity_factor.  THE static-"
+                         "shape reuse story: with the cache on, ~70%% of "
+                         "expert slots go unused, so capacity (and with it "
+                         "the expert GEMM + dispatch traffic, which are "
+                         "shape-bound, not occupancy-bound) can be shrunk "
+                         "~3x at zero drops — check the printed "
+                         "dropped_frac stays 0")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -40,8 +48,10 @@ def main():
     from m3vit_tpu.config import create_config
     from m3vit_tpu.models.factory import build_model
 
-    p = create_config(None, args.config,
-                      {"use_checkpointing": False}, make_dirs=False)
+    overrides = {"use_checkpointing": False}
+    if args.eval_cf is not None:
+        overrides["moe_eval_capacity_factor"] = args.eval_cf
+    p = create_config(None, args.config, overrides, make_dirs=False)
     model = build_model(p)
     ntasks = len(p["TASK_NAMES"])
     H, W = p["train_scale"]
@@ -77,6 +87,10 @@ def main():
         for k in ("computed_tokens", "reused_tokens"):
             if stats and k in stats:
                 rec[k] = float(stats[k])
+        if stats and "dropped_slot_fraction" in stats:
+            rec["dropped_frac"] = round(
+                float(stats["dropped_slot_fraction"])
+                / max(float(stats.get("moe_stat_count", 1.0)), 1.0), 6)
         print(json.dumps(rec))
 
 

@@ -23,6 +23,13 @@ def test_run_when_mounted_smoke():
     # the CLI must see the repo and the axon site (CLAUDE.md: keep
     # /root/.axon_site on PYTHONPATH); --platform cpu is set by --smoke
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # conftest's 8-virtual-device XLA_FLAGS must NOT leak into the drill:
+    # the playbook CLIs run single-device (batch 4 cannot shard over 8
+    # fake devices — the loader would yield zero batches)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
+    env.pop("JAX_PLATFORMS", None)
     proc = subprocess.run(
         ["bash", os.path.join(REPO, "scripts", "run_when_mounted.sh"),
          "--smoke"],
