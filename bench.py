@@ -109,16 +109,19 @@ def main():
     # (ops/flash_attention.py, ops/expert_ffn.py).  This populates the same
     # persistent compile cache the jit call below hits, so the compile is
     # paid once.
+    # XLA cost analysis counts a lax.scan body ONCE, not x trip-count, so
+    # flops/mfu would be nonsense for the scan variants — skip them there.
     step_flops = None
-    try:
-        ca = step.lower(state, batch, rng).compile().cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        step_flops = float(ca.get("flops", -1.0))
-        if step_flops <= 0:
+    if not (args.scan_tasks or args.scan_blocks):
+        try:
+            ca = step.lower(state, batch, rng).compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            step_flops = float(ca.get("flops", -1.0))
+            if step_flops <= 0:
+                step_flops = None
+        except Exception:
             step_flops = None
-    except Exception:
-        step_flops = None
 
     # warmup / compile; float() is the barrier (block_until_ready is not
     # reliable under the axon loopback relay)
