@@ -52,6 +52,10 @@ def main():
                          "compile-time lever — see PARITY.md)")
     ap.add_argument("--scan_blocks", action="store_true",
                     help="A/B: lax.scan the dense/MoE block pairs")
+    ap.add_argument("--no_shared_prefix", action="store_true",
+                    help="A/B: per-task passes recompute the task-"
+                         "independent prefix (patch embed + block_0) "
+                         "instead of sharing one prefix pass")
     args = ap.parse_args()
 
     n_chips = len(jax.devices())
@@ -77,6 +81,10 @@ def main():
         # forcing True off-TPU would hit the slow interpret path (ADVICE r2)
         use_pallas_dense_ffn=False if args.no_dense_pallas else None,
         scan_tasks=args.scan_tasks, scan_blocks=args.scan_blocks,
+        # shared task-independent prefix (exact numerics at the flagship
+        # point: dropout 0); mutually exclusive with the scan strategies
+        shared_prefix=not (args.no_shared_prefix or args.scan_tasks
+                           or args.scan_blocks),
     )
     batch = synthetic_batch(jax.random.key(0), tasks, batch_size, (512, 512))
 
@@ -146,6 +154,8 @@ def main():
         suffix += "_scan_blocks"
     if args.no_dense_pallas:
         suffix += "_no_dense_pallas"
+    if args.no_shared_prefix:
+        suffix += "_no_shared_prefix"
     record = {
         "metric":
             "train_throughput_vit_small_moe_e16k4_5task_512" + suffix,

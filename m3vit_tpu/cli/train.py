@@ -61,6 +61,12 @@ def parse_args(argv=None):
                     help="lax.scan the per-task multi-gate backbone passes "
                          "(one compiled backbone program instead of T; same "
                          "params/metrics, sequential-loop working set)")
+    ap.add_argument("--shared_prefix", action="store_true",
+                    help="run the task-independent prefix (patch embed + "
+                         "leading dense blocks) once per step instead of "
+                         "once per task (multi-gate passes only diverge at "
+                         "the first per-task MoE gate; exact numerics when "
+                         "dropout is 0)")
     ap.add_argument("--no_scan_tasks_remat", action="store_true",
                     help="disable the scan-of-remat composition inside "
                          "--scan_tasks; without remat lax.scan stacks all "
@@ -351,22 +357,38 @@ def run(args) -> Dict:
         overrides["scan_tasks"] = True
     if args.no_scan_tasks_remat:
         overrides["scan_tasks_remat"] = False
+    if args.shared_prefix:
+        overrides["shared_prefix"] = True
     if args.remat_heads:
         overrides["remat_heads"] = True
     if args.overfit:
         overrides["overfit"] = True
     p = create_config(args.config_env, args.config_exp, overrides,
                       make_dirs=True)
-    if p.get("stacked_tasks") and p.get("scan_tasks"):
-        raise SystemExit("--stacked_tasks and --scan_tasks are mutually "
-                         "exclusive multi-gate execution strategies")
+    if sum(bool(p.get(k)) for k in
+           ("stacked_tasks", "scan_tasks", "shared_prefix")) > 1:
+        raise SystemExit("--stacked_tasks / --scan_tasks / --shared_prefix "
+                         "are mutually exclusive multi-gate execution "
+                         "strategies; pick one")
     if p.get("scan_tasks") and not p.get("multi_gate"):
         print("WARNING: scan_tasks has no effect without multi_gate; "
               "the shared-router forward already runs the backbone once")
-    if (p.get("scan_blocks") or p.get("scan_tasks")) and \
+    if p.get("shared_prefix"):
+        if not p.get("multi_gate"):
+            print("WARNING: shared_prefix has no effect without multi_gate; "
+                  "running the shared-gate path")
+            p["shared_prefix"] = False
+        elif any(float((p.get("backbone_kwargs") or {}).get(k, 0) or 0) > 0
+                 for k in ("drop_rate", "attn_drop_rate")):
+            raise SystemExit(
+                "--shared_prefix would share the prefix's train-time "
+                "dropout draws across tasks (drop_rate/attn_drop_rate > 0); "
+                "use the sequential loop or disable dropout")
+    if (p.get("scan_blocks") or p.get("scan_tasks")
+            or p.get("shared_prefix")) and \
             p.get("backbone") != "VisionTransformer_moe":
-        print("WARNING: scan_blocks/scan_tasks only apply to the "
-              "VisionTransformer_moe backbone; ignored for "
+        print("WARNING: scan_blocks/scan_tasks/shared_prefix only apply to "
+              "the VisionTransformer_moe backbone; ignored for "
               f"{p.get('backbone')}")
     if p.get("stacked_tasks") and not p.get("multi_gate"):
         print("WARNING: stacked_tasks has no effect without multi_gate; "

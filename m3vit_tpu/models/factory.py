@@ -345,5 +345,6 @@ def build_model(p, mesh=None, expert_axis: Optional[str] = "expert"):
         stacked_tasks=bool(p.get("stacked_tasks", False)),
         scan_tasks=bool(p.get("scan_tasks", False)),
         scan_tasks_remat=bool(p.get("scan_tasks_remat", True)),
+        shared_prefix=bool(p.get("shared_prefix", False)),
         remat_heads=bool(p.get("remat_heads", False)),
     )

@@ -75,6 +75,12 @@ class MultiTaskModel(nn.Module):
     # the sequential loop (one task in flight) at the cost of one extra
     # forward per task.  Numerics are exact either way.
     scan_tasks_remat: bool = True
+    # run the task-independent prefix (patch embed + leading dense blocks —
+    # multi-gate passes only diverge at the first per-task MoE gate) ONCE,
+    # then loop the remaining blocks per task.  Exact numerics vs the
+    # sequential loop (the backbone asserts the prefix is deterministic);
+    # saves (T-1) redundant prefix fwd+bwd computations per step.
+    shared_prefix: bool = False
     # rematerialize the decoder heads in the backward pass.  The PUP heads'
     # 512²x256ch conv activations dominate the train step's HBM footprint
     # (~14.7 GB at B=8 without remat on a 16 GB chip); trading their
@@ -107,10 +113,10 @@ class MultiTaskModel(nn.Module):
         total_cv = jnp.asarray(0.0, jnp.float32)
         stats: Dict = {}
 
-        if self.stacked_tasks and self.scan_tasks:
+        if sum((self.stacked_tasks, self.scan_tasks, self.shared_prefix)) > 1:
             raise ValueError(
-                "stacked_tasks and scan_tasks are mutually exclusive "
-                "multi-gate execution strategies; pick one")
+                "stacked_tasks / scan_tasks / shared_prefix are mutually "
+                "exclusive multi-gate execution strategies; pick one")
 
         if single_task is not None:
             tid = self.tasks.index(single_task) if self.multi_gate else None
@@ -143,6 +149,17 @@ class MultiTaskModel(nn.Module):
             tids = jnp.arange(T, dtype=jnp.int32)
             feats, total_cv, stats = self.backbone(
                 x, task_id=tids, train=train, stacked_tasks=True, sem=sem
+            )
+            per_task = feats.reshape((T, x.shape[0]) + feats.shape[1:])
+            for i, task in enumerate(self.tasks):
+                out[task] = resize_bilinear(decode(task, per_task[i]),
+                                            out_size)
+        elif self.multi_gate and self.shared_prefix:
+            # prefix (patch embed + leading dense blocks) once, rest per task
+            T = len(self.tasks)
+            tids = jnp.arange(T, dtype=jnp.int32)
+            feats, total_cv, stats = self.backbone(
+                x, task_id=tids, train=train, shared_prefix=True, sem=sem
             )
             per_task = feats.reshape((T, x.shape[0]) + feats.shape[1:])
             for i, task in enumerate(self.tasks):

@@ -22,7 +22,7 @@ TPU-first deltas (documented, not semantic):
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -514,18 +514,30 @@ class MoEBlock(nn.Module):
         sem_force_mask: Optional[jnp.ndarray] = None,
         gate_inp_tokens: Optional[jnp.ndarray] = None,
         sem_patch: Optional[jnp.ndarray] = None,
+        stage: str = "full",  # "full" | "attn" | "moe": the attention
+        # sublayer is task-INDEPENDENT (shared params, diverges only at the
+        # MoE gate), so VisionTransformerMoE's shared_prefix mode runs
+        # "attn" once and then "moe" per task.  Static (trace-time) arg.
     ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
         dp_rng1 = dp_rng2 = None
         if self.drop_path_rate > 0 and train:
-            dp_rng1 = self.make_rng("dropout")
-            dp_rng2 = self.make_rng("dropout")
+            # draw both up front in "full" mode to keep the rng stream
+            # identical to the pre-split code
+            if stage != "moe":
+                dp_rng1 = self.make_rng("dropout")
+            if stage != "attn":
+                dp_rng2 = self.make_rng("dropout")
 
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
-        h = Attention(
-            self.num_heads, self.qkv_bias, self.qk_scale, self.attn_drop,
-            self.drop, dtype=self.dtype, mesh=self.mesh, name="attn",
-        )(h.astype(self.dtype), train)
-        x = x + drop_path(h, self.drop_path_rate, train, dp_rng1)
+        if stage != "moe":
+            h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                             name="norm1")(x)
+            h = Attention(
+                self.num_heads, self.qkv_bias, self.qk_scale, self.attn_drop,
+                self.drop, dtype=self.dtype, mesh=self.mesh, name="attn",
+            )(h.astype(self.dtype), train)
+            x = x + drop_path(h, self.drop_path_rate, train, dp_rng1)
+            if stage == "attn":
+                return x, jnp.asarray(0.0, jnp.float32), {}
 
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         moe_out, gate, regu = MoEMlp(
@@ -750,6 +762,14 @@ class VisionTransformerMoE(nn.Module):
         gate_inp: Optional[jnp.ndarray] = None,  # [B, 1+N, C_g] decoupled gate
         stacked_tasks: bool = False,  # task_id is a [T] vector: one fused
         # pass computes every task's routing (returns [T*B, 1+N, C])
+        shared_prefix: bool = False,  # task_id is a [T] vector: the
+        # task-independent prefix (patch embed, pos embed, block_0 — the
+        # task passes only diverge at block_1's per-task MoE gate) runs
+        # ONCE at batch B, then blocks 1..depth-1 run per task in a python
+        # loop (same working set as the sequential form, unlike
+        # stacked_tasks).  Returns task-major [T*B, 1+N, C].  Exact
+        # numerics vs the per-task loop when the prefix is deterministic;
+        # guarded against train-mode dropout below.
     ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
         B = x.shape[0]
         num_patches = (self.img_size[0] // self.patch_size) * (
@@ -785,6 +805,17 @@ class VisionTransformerMoE(nn.Module):
         # independently per row below, statistically matching the per-pass
         # draws of the sequential form.
         n_stack = 1
+        if shared_prefix:
+            assert self.multi_gate and task_id is not None \
+                and task_id.ndim == 1, \
+                "shared_prefix needs multi_gate + [T] task ids"
+            assert not stacked_tasks and not self.scan_blocks, \
+                "shared_prefix is its own execution strategy"
+            assert not (train and (self.drop_rate > 0
+                                   or self.attn_drop_rate > 0)), \
+                ("shared_prefix would share the prefix's dropout draws "
+                 "across tasks; use the sequential loop when training "
+                 "with dropout")
         if stacked_tasks:
             assert self.multi_gate and task_id is not None \
                 and task_id.ndim == 1, "stacked_tasks needs multi_gate + [T] ids"
@@ -823,7 +854,9 @@ class VisionTransformerMoE(nn.Module):
         dense_cls, moe_cls = DenseBlock, MoEBlock
         if self.use_checkpointing:
             dense_cls = nn.remat(DenseBlock, static_argnums=(2,))
-            moe_cls = nn.remat(MoEBlock, static_argnums=(4,))
+            # 4 = train, 10 = stage (module instance is arg 0); both are
+            # trace-time constants
+            moe_cls = nn.remat(MoEBlock, static_argnums=(4, 10))
 
         # semantic-class forced routing (reference custom_moe_layer.py:225-241
         # over patch-majority labels, vision_transformer_moe.py:762-778)
@@ -897,23 +930,25 @@ class VisionTransformerMoE(nn.Module):
             return tokens, jnp.sum(cvs), jax.tree.map(
                 lambda a: a.sum(0), stats)
 
-        total_cv = jnp.asarray(0.0, jnp.float32)
-        agg = None
+        # instantiate each block module ONCE (flax shares params across
+        # calls), so shared_prefix below can re-apply blocks 1.. per task
+        blocks: List[Any] = []
         for i in range(self.depth):
             if i % 2 == 0:
-                tokens = dense_cls(
+                blocks.append(dense_cls(
                     num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                     qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                     drop=self.drop_rate, attn_drop=self.attn_drop_rate,
                     drop_path_rate=dpr[i], dtype=self.dtype, mesh=self.mesh,
                     use_pallas_ffn=self.use_pallas_dense_ffn,
                     name=f"block_{i}",
-                )(tokens, train)
+                ))
             else:
-                tokens, cv, stats = moe_cls(
+                blocks.append(moe_cls(
                     num_heads=self.num_heads, moe_hidden_dim=moe_hidden,
                     moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
-                    vmoe_noisy_std=self.vmoe_noisy_std, multi_gate=self.multi_gate,
+                    vmoe_noisy_std=self.vmoe_noisy_std,
+                    multi_gate=self.multi_gate,
                     num_tasks=self.num_tasks,
                     gate_task_specific_dim=self.gate_task_specific_dim,
                     qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
@@ -936,15 +971,76 @@ class VisionTransformerMoE(nn.Module):
                     expert_weights_int8=self.expert_weights_int8,
                     cv_segments=n_stack,
                     name=f"block_{i}",
-                )(tokens, task_id, task_feature, train, expert_mask,
-                  sem_force_idx, sem_force_mask,
-                  tokens if self.gate_input_ahead else gate_inp, sem_patch)
-                total_cv = total_cv + cv
-                agg = (
-                    stats
-                    if agg is None
-                    else jax.tree.map(lambda a, b: a + b, agg, stats)
-                )
+                ))
 
+        def run_blocks(tokens, tid, start, start_stage="full",
+                       start_gate_inp=None):
+            # start_stage="moe": `tokens` already went through block
+            # `start`'s attention sublayer (shared_prefix ran it once);
+            # start_gate_inp carries that block's ORIGINAL input for
+            # gate_input_ahead, which routes on pre-attention tokens.
+            total_cv = jnp.asarray(0.0, jnp.float32)
+            agg = None
+            for i in range(start, self.depth):
+                if i % 2 == 0:
+                    tokens = blocks[i](tokens, train)
+                else:
+                    stage = start_stage if i == start else "full"
+                    gi = tokens if self.gate_input_ahead else gate_inp
+                    if stage == "moe" and self.gate_input_ahead:
+                        gi = start_gate_inp
+                    tokens, cv, stats = blocks[i](
+                        tokens, tid, task_feature, train, expert_mask,
+                        sem_force_idx, sem_force_mask, gi, sem_patch,
+                        stage)
+                    total_cv = total_cv + cv
+                    agg = (
+                        stats
+                        if agg is None
+                        else jax.tree.map(lambda a, b: a + b, agg, stats)
+                    )
+            return tokens, total_cv, agg
+
+        if shared_prefix:
+            # leading dense blocks are task-independent in multi_gate mode
+            # (the passes diverge only at the first per-task MoE gate):
+            # run them once at B, then fan out per task.  The shared
+            # block_0 gradient is the sum of the task branches' cotangents
+            # — identical to the per-task loop, where autodiff sums the
+            # shared parameters' contributions across passes.
+            n_prefix = 0
+            while n_prefix < self.depth and n_prefix % 2 == 0:
+                tokens = blocks[n_prefix](tokens, train)
+                n_prefix += 1
+            # the first MoE block's ATTENTION sublayer is still
+            # task-independent (shared params; the passes diverge only at
+            # its gate) — run it once too, unless train-time drop-path
+            # would share its residual mask across tasks (dpr[0]=0 always,
+            # but dpr[n_prefix]>0 when drop_path_rate>0)
+            start_stage, start_gate_inp = "full", None
+            if n_prefix < self.depth and not (
+                    train and self.drop_path_rate > 0):
+                if self.gate_input_ahead:
+                    start_gate_inp = tokens  # block input routes the gate
+                tokens, _, _ = blocks[n_prefix](
+                    tokens, None, task_feature, train, expert_mask,
+                    sem_force_idx, sem_force_mask, None, sem_patch, "attn")
+                start_stage = "moe"
+            feats, cvs, aggs = [], [], []
+            for t in range(task_id.shape[0]):
+                f, cv, agg = run_blocks(tokens, task_id[t], n_prefix,
+                                        start_stage, start_gate_inp)
+                feats.append(f)
+                cvs.append(cv)
+                if agg is not None:
+                    aggs.append(agg)
+            stats_out = {}
+            if aggs:
+                stats_out = jax.tree.map(
+                    lambda *a: sum(a[1:], a[0]), *aggs)
+            return (jnp.concatenate(feats, axis=0),
+                    sum(cvs[1:], cvs[0]), stats_out)
+
+        tokens, total_cv, agg = run_blocks(tokens, task_id, 0)
         stats_out = agg if agg is not None else {}
         return tokens, total_cv, stats_out

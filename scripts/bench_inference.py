@@ -34,7 +34,11 @@ def main():
     from m3vit_tpu.data.synthetic import synthetic_batch
     from m3vit_tpu.train.step import make_eval_step, make_single_task_eval_step
 
-    model, tasks = build_flagship(dtype=jnp.bfloat16, use_checkpointing=False)
+    # shared_prefix also accelerates the full multi-task eval forward (the
+    # prefix is task-independent in eval too); single_task takes its own
+    # path and is unaffected
+    model, tasks = build_flagship(dtype=jnp.bfloat16, use_checkpointing=False,
+                                  shared_prefix=True)
     batch = synthetic_batch(jax.random.key(0), tasks, args.batch, (512, 512))
     variables = model.init(
         {"params": jax.random.key(1)}, batch["image"], train=False

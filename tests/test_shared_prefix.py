@@ -1,0 +1,139 @@
+"""shared_prefix: run the task-independent prefix (patch embed + leading
+dense blocks) once per step instead of once per task.  Multi-gate task
+passes share ALL parameters and diverge only at the first per-task MoE gate
+(reference models/models.py:299-320 runs the whole backbone per task), so
+hoisting the prefix is exact numerics — outputs AND gradients must match the
+sequential loop bit-for-bit modulo float reassociation."""
+
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from m3vit_tpu.models.heads import VisionTransformerUpHead
+from m3vit_tpu.models.multitask import MultiTaskModel
+from m3vit_tpu.models.vit_moe import VisionTransformerMoE
+
+TASKS = ["semseg", "sal"]
+
+
+def _model(shared_prefix=False, drop_rate=0.0, attn_drop_rate=0.0,
+           drop_path_rate=0.0, use_checkpointing=False):
+    backbone = VisionTransformerMoE(
+        img_size=(32, 32), patch_size=8, embed_dim=64, depth=4,
+        num_heads=4, mlp_ratio=2.0, qkv_bias=True, moe_mlp_ratio=1.0,
+        moe_experts=8, moe_top_k=2, vmoe_noisy_std=0.0,
+        multi_gate=True, num_tasks=len(TASKS),
+        capacity_factor=4.0, eval_capacity_factor=4.0,
+        drop_rate=drop_rate, attn_drop_rate=attn_drop_rate,
+        drop_path_rate=drop_path_rate,
+        dtype=jnp.float32, use_checkpointing=use_checkpointing,
+    )
+    decoders = {
+        t: VisionTransformerUpHead(
+            img_size=(32, 32), patch_size=8, embed_dim=64,
+            num_classes=c, dtype=jnp.float32)
+        for t, c in zip(TASKS, (21, 1))
+    }
+    return MultiTaskModel(backbone=backbone, decoders=decoders, tasks=TASKS,
+                          multi_gate=True, shared_prefix=shared_prefix)
+
+
+@pytest.fixture(scope="module")
+def img():
+    return jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+
+
+def test_shared_prefix_matches_loop(img):
+    loop = _model()
+    shared = _model(shared_prefix=True)
+    v = loop.init({"params": jax.random.key(1)}, img, train=False)
+    o1, cv1, s1 = loop.apply(v, img, train=False)
+    o2, cv2, s2 = shared.apply(v, img, train=False)  # same params
+    for t in TASKS:
+        assert jnp.allclose(o1[t], o2[t], atol=1e-5), t
+    assert jnp.allclose(cv1, cv2, atol=1e-6)
+    for k in s1:
+        assert jnp.allclose(s1[k], s2[k], atol=1e-5), k
+
+
+def test_shared_prefix_matches_loop_gradients(img):
+    """The shared prefix's gradient is the sum of the task branches'
+    cotangents — identical to the loop, where autodiff sums the shared
+    parameters' contributions across the T passes."""
+    loop = _model()
+    shared = _model(shared_prefix=True)
+    v = loop.init({"params": jax.random.key(2)}, img, train=False)
+
+    def loss(m, p):
+        (out, cv, _), _ = m.apply(
+            {"params": p, "batch_stats": v["batch_stats"]}, img, train=True,
+            rngs={"gate_noise": jax.random.key(3)},
+            mutable=["batch_stats"])
+        return sum((o.astype(jnp.float32) ** 2).mean()
+                   for o in out.values()) + 0.01 * cv
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(loop, p))(v["params"])
+    l2, g2 = jax.value_and_grad(lambda p: loss(shared, p))(v["params"])
+    assert jnp.allclose(l1, l2, atol=1e-5), (float(l1), float(l2))
+    jax.tree.map(
+        lambda a, b: None if jnp.allclose(a, b, atol=2e-4)
+        else pytest.fail(f"grad mismatch {jnp.abs(a - b).max()}"),
+        g1, g2)
+
+
+def test_shared_prefix_rejects_train_dropout(img):
+    """Sharing the prefix would share its train-time dropout draws across
+    tasks — the backbone must refuse instead of silently changing the
+    noise statistics."""
+    shared = _model(shared_prefix=True, drop_rate=0.1)
+    v = _model(drop_rate=0.1).init({"params": jax.random.key(4)}, img,
+                                   train=False)
+    with pytest.raises(AssertionError, match="dropout"):
+        shared.apply(
+            v, img, train=True,
+            rngs={"gate_noise": jax.random.key(5),
+                  "dropout": jax.random.key(6)},
+            mutable=["batch_stats"])
+    # eval is fine: dropout is inert
+    out, _, _ = shared.apply(v, img, train=False)
+    assert set(out) == set(TASKS)
+
+
+def test_shared_prefix_drop_path_train_falls_back(img):
+    """With drop_path_rate > 0 in train, the first MoE block's attention
+    residual mask must stay per-task — shared_prefix keeps only the
+    dpr=0 leading blocks shared and runs that block in full per task."""
+    shared = _model(shared_prefix=True, drop_path_rate=0.2)
+    v = shared.init({"params": jax.random.key(8)}, img, train=False)
+    out, cv, _ = shared.apply(
+        v, img, train=True,
+        rngs={"gate_noise": jax.random.key(9),
+              "dropout": jax.random.key(10)},
+        mutable=["batch_stats"])[0]
+    for t in TASKS:
+        assert jnp.isfinite(out[t]).all(), t
+
+
+def test_shared_prefix_matches_loop_with_remat(img):
+    """use_checkpointing wraps blocks in nn.remat with the stage arg
+    static; outputs must still match the loop exactly."""
+    loop = _model(use_checkpointing=True)
+    shared = _model(shared_prefix=True, use_checkpointing=True)
+    v = loop.init({"params": jax.random.key(11)}, img, train=False)
+    o1, cv1, _ = loop.apply(v, img, train=False)
+    o2, cv2, _ = shared.apply(v, img, train=False)
+    for t in TASKS:
+        assert jnp.allclose(o1[t], o2[t], atol=1e-5), t
+    assert jnp.allclose(cv1, cv2, atol=1e-6)
+
+
+def test_shared_prefix_single_task_unaffected(img):
+    """single_task inference takes the per-task path regardless of the
+    flag (the prefix split only exists for the all-task forward)."""
+    loop = _model()
+    shared = _model(shared_prefix=True)
+    v = loop.init({"params": jax.random.key(7)}, img, train=False)
+    o1, _, _ = loop.apply(v, img, train=False, single_task="semseg")
+    o2, _, _ = shared.apply(v, img, train=False, single_task="semseg")
+    assert jnp.allclose(o1["semseg"], o2["semseg"], atol=1e-6)
