@@ -374,9 +374,12 @@ def run(args) -> Dict:
         print("WARNING: scan_tasks has no effect without multi_gate; "
               "the shared-router forward already runs the backbone once")
     if p.get("shared_prefix"):
-        if not p.get("multi_gate"):
-            print("WARNING: shared_prefix has no effect without multi_gate; "
-                  "running the shared-gate path")
+        if not p.get("multi_gate") and \
+                int(p.get("gate_task_specific_dim", -1)) <= 0:
+            print("WARNING: shared_prefix has no effect without per-task "
+                  "routing (multi_gate or the task-conditioned shared "
+                  "gate); the single-pass forward already runs the "
+                  "backbone once")
             p["shared_prefix"] = False
         elif any(float((p.get("backbone_kwargs") or {}).get(k, 0) or 0) > 0
                  for k in ("drop_rate", "attn_drop_rate")):

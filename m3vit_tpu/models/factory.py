@@ -326,7 +326,8 @@ def build_model(p, mesh=None, expert_axis: Optional[str] = "expert"):
     assert p["setup"] == "multi_task"
     if int(p.get("gate_task_specific_dim", -1)) > 0 and not p.get("multi_gate"):
         return TaskConditionedMultiTaskModel(
-            backbone=backbone, decoders=decoders, tasks=tasks
+            backbone=backbone, decoders=decoders, tasks=tasks,
+            shared_prefix=bool(p.get("shared_prefix", False)),
         )
     mk = p.get("model_kwargs") or {}
     tam = bool(mk.get("tam", False))

@@ -235,12 +235,28 @@ class TaskConditionedMultiTaskModel(nn.Module):
     backbone: nn.Module
     decoders: Dict[str, nn.Module]
     tasks: List[str]
+    # run the task-independent prefix once (see MultiTaskModel.shared_prefix);
+    # the task-conditioned passes also diverge only at the first gate (the
+    # task one-hot only enters through the gate input)
+    shared_prefix: bool = False
 
     def __call__(self, x, train: bool = False, single_task: Optional[str] = None):
         out_size = x.shape[1:3]
         out: Dict[str, jnp.ndarray] = {}
         total_cv = jnp.asarray(0.0, jnp.float32)
         stats: Dict = {}
+        if self.shared_prefix and single_task is None:
+            T = len(self.tasks)
+            tids = jnp.arange(T, dtype=jnp.int32)
+            feats, total_cv, stats = self.backbone(
+                x, task_id=tids, train=train, shared_prefix=True
+            )
+            per_task = feats.reshape((T, x.shape[0]) + feats.shape[1:])
+            for i, task in enumerate(self.tasks):
+                out[task] = resize_bilinear(
+                    self.decoders[task](per_task[i], train=train), out_size
+                )
+            return out, total_cv, stats
         names = [single_task] if single_task is not None else self.tasks
         for task in names:
             tid = jnp.asarray(self.tasks.index(task), jnp.int32)

@@ -806,9 +806,11 @@ class VisionTransformerMoE(nn.Module):
         # draws of the sequential form.
         n_stack = 1
         if shared_prefix:
-            assert self.multi_gate and task_id is not None \
-                and task_id.ndim == 1, \
-                "shared_prefix needs multi_gate + [T] task ids"
+            assert task_id is not None and task_id.ndim == 1 and (
+                self.multi_gate
+                or (self.gate_task_specific_dim > 0 and self.num_tasks > 0)
+            ), ("shared_prefix needs [T] task ids + per-task routing "
+                "(multi_gate or the task-conditioned shared gate)")
             assert not stacked_tasks and not self.scan_blocks, \
                 "shared_prefix is its own execution strategy"
             assert not (train and (self.drop_rate > 0
@@ -974,7 +976,7 @@ class VisionTransformerMoE(nn.Module):
                 ))
 
         def run_blocks(tokens, tid, start, start_stage="full",
-                       start_gate_inp=None):
+                       start_gate_inp=None, task_feature=task_feature):
             # start_stage="moe": `tokens` already went through block
             # `start`'s attention sublayer (shared_prefix ran it once);
             # start_gate_inp carries that block's ORIGINAL input for
@@ -1023,13 +1025,19 @@ class VisionTransformerMoE(nn.Module):
                 if self.gate_input_ahead:
                     start_gate_inp = tokens  # block input routes the gate
                 tokens, _, _ = blocks[n_prefix](
-                    tokens, None, task_feature, train, expert_mask,
+                    tokens, None, None, train, expert_mask,
                     sem_force_idx, sem_force_mask, None, sem_patch, "attn")
                 start_stage = "moe"
             feats, cvs, aggs = [], [], []
             for t in range(task_id.shape[0]):
+                # task-conditioned shared gate: task_feature is [T, dim]
+                # (TaskRepresentMlp over the [T] one-hots) — hand each
+                # branch its own row
+                tf = task_feature if task_feature is None \
+                    else task_feature[t]
                 f, cv, agg = run_blocks(tokens, task_id[t], n_prefix,
-                                        start_stage, start_gate_inp)
+                                        start_stage, start_gate_inp,
+                                        task_feature=tf)
                 feats.append(f)
                 cvs.append(cv)
                 if agg is not None:

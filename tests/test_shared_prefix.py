@@ -128,6 +128,48 @@ def test_shared_prefix_matches_loop_with_remat(img):
     assert jnp.allclose(cv1, cv2, atol=1e-6)
 
 
+def test_shared_prefix_task_conditioned_matches_loop(img):
+    """The task-conditioned shared-gate mode (gate_task_specific_dim > 0,
+    reference models.py:215-287) also diverges only at the first gate —
+    the task one-hot enters through the gate input alone — so its
+    shared_prefix must be exact vs its sequential loop too."""
+    from m3vit_tpu.models.multitask import TaskConditionedMultiTaskModel
+
+    def _tc_model(shared_prefix=False):
+        backbone = VisionTransformerMoE(
+            img_size=(32, 32), patch_size=8, embed_dim=64, depth=4,
+            num_heads=4, mlp_ratio=2.0, qkv_bias=True, moe_mlp_ratio=1.0,
+            moe_experts=8, moe_top_k=2, vmoe_noisy_std=0.0,
+            multi_gate=False, num_tasks=len(TASKS),
+            gate_task_specific_dim=16,
+            capacity_factor=4.0, eval_capacity_factor=4.0,
+            dtype=jnp.float32, use_checkpointing=False,
+        )
+        decoders = {
+            t: VisionTransformerUpHead(
+                img_size=(32, 32), patch_size=8, embed_dim=64,
+                num_classes=c, dtype=jnp.float32)
+            for t, c in zip(TASKS, (21, 1))
+        }
+        return TaskConditionedMultiTaskModel(
+            backbone=backbone, decoders=decoders, tasks=TASKS,
+            shared_prefix=shared_prefix)
+
+    loop = _tc_model()
+    shared = _tc_model(shared_prefix=True)
+    v = loop.init({"params": jax.random.key(12)}, img, train=False)
+    o1, cv1, s1 = loop.apply(v, img, train=False)
+    o2, cv2, s2 = shared.apply(v, img, train=False)
+    for t in TASKS:
+        assert jnp.allclose(o1[t], o2[t], atol=1e-5), t
+    assert jnp.allclose(cv1, cv2, atol=1e-6)
+    for k in s1:
+        assert jnp.allclose(s1[k], s2[k], atol=1e-5), k
+    # single_task stays on the per-task path
+    o3, _, _ = shared.apply(v, img, train=False, single_task="sal")
+    assert jnp.allclose(o1["sal"], o3["sal"], atol=1e-6)
+
+
 def test_shared_prefix_single_task_unaffected(img):
     """single_task inference takes the per-task path regardless of the
     flag (the prefix split only exists for the all-task forward)."""
