@@ -96,6 +96,9 @@ def main():
     ap.add_argument("--out", default="/tmp/m3vit_profile")
     ap.add_argument("--stacked", action="store_true")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--no_shared_prefix", action="store_true",
+                    help="profile the pre-shared-prefix variant (bench.py "
+                         "defaults to shared_prefix on)")
     ap.add_argument("--parse-only", default=None,
                     help="skip running; parse this profile dir")
     args = ap.parse_args()
@@ -114,6 +117,7 @@ def main():
     model, tasks = build_flagship(
         dtype=jnp.bfloat16, use_checkpointing=args.remat,
         stacked_tasks=args.stacked,
+        shared_prefix=not (args.stacked or args.no_shared_prefix),
     )
     batch = synthetic_batch(jax.random.key(0), tasks, args.batch, (512, 512))
     p = {"optimizer": "sgd",
