@@ -42,7 +42,8 @@ from m3vit_tpu.models.vit import (
     trunc_normal_init,
 )
 from m3vit_tpu.models.vit_moe import TaskRepresentMlp, _expert_kernel_init
-from m3vit_tpu.moe.dispatch import MoEFfnParams, moe_ffn
+from m3vit_tpu.moe.dispatch import (MoEFfnParams, moe_ffn,
+                                     moe_ffn_streams)
 from m3vit_tpu.moe.gating import gate_init, moe_aux_loss, noisy_vmoe_gate
 
 Dtype = Any
@@ -152,6 +153,9 @@ class TokenBlock(nn.Module):
     eval_capacity_factor: float = 4.0
     use_pallas_ffn: bool = False
     use_pallas_dense_ffn: bool = False  # fused MlpBlock in dense stages
+    # fold the T per-task MoE dispatches into one stacked dispatch
+    # (moe_ffn_streams) when the reuse cache is off — exact numerics
+    batched_dispatch: bool = True
     mesh: Any = None
     expert_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
@@ -284,6 +288,12 @@ class TokenBlock(nn.Module):
         drop_overflow = jnp.asarray(0.0, jnp.float32)
 
         normed_all = norm2(outs.reshape(T * B, N, C)).reshape(T, B, N, C)
+        ffn_fn = None
+        if self.use_pallas_ffn:
+            from m3vit_tpu.ops.expert_ffn import (
+                make_pallas_ffn_fn, pallas_expert_ffn_available)
+            if pallas_expert_ffn_available():
+                ffn_fn = make_pallas_ffn_fn()
         # reuse cache (reference :673-812, dead plumbing there — reuse_bits
         # is always None upstream; here it is a live static-shape feature):
         # the FIRST task whose reuse bit is set computes the expert output
@@ -301,20 +311,47 @@ class TokenBlock(nn.Module):
             )
         reuse_flat = (reuse_bits.reshape(-1).astype(jnp.int32)
                       if reuse_bits is not None else None)
+        # batched dispatch: the T per-task MoE passes are independent when
+        # the reuse cache is off (reuse makes task t+1 read task t's expert
+        # outputs), so fold them into ONE stacked dispatch + grouped GEMM
+        # (moe_ffn_streams: per-(task, expert) capacity buckets, results
+        # bitwise-identical to the loop) and batch the f32 gate-input cast
+        # + logits into one einsum — the per-task noise draws stay separate
+        # (clean_logits= path), preserving exact loop numerics.
+        batched = self.batched_dispatch and reuse_flat is None
+        clean_all = None
+        if batched:
+            inp_f32 = normed_all.reshape(T, B * N, C).astype(jnp.float32)
+            if not self.multi_gate:
+                te = jnp.broadcast_to(
+                    task_emb[:, None, :],
+                    (T, B * N, self.gate_task_specific_dim),
+                ).astype(jnp.float32)
+                inp_f32 = jnp.concatenate([inp_f32, te], axis=-1)
+            clean_all = jnp.einsum(
+                "tsc,tce->tse", inp_f32,
+                jnp.broadcast_to(
+                    w_gate_all.astype(jnp.float32), (T, d_gate, E)),
+            )
+        idx_list, gates_list = [], []
         for t in range(T):
             normed = normed_all[t]
-            gate_inp = normed.reshape(-1, C).astype(jnp.float32)
-            if not self.multi_gate:
-                te = jnp.broadcast_to(task_emb[t][None, :],
-                                      (gate_inp.shape[0],
-                                       self.gate_task_specific_dim))
-                gate_inp = jnp.concatenate([gate_inp, te], axis=-1)
+            if batched:
+                gate_inp, clean_t = None, clean_all[t]
+            else:
+                clean_t = None
+                gate_inp = normed.reshape(-1, C).astype(jnp.float32)
+                if not self.multi_gate:
+                    te = jnp.broadcast_to(task_emb[t][None, :],
+                                          (gate_inp.shape[0],
+                                           self.gate_task_specific_dim))
+                    gate_inp = jnp.concatenate([gate_inp, te], axis=-1)
             w_gate = w_gate_all[t if self.multi_gate else 0]
             r = jax.random.fold_in(rng, 100 + t) if rng is not None else None
             gate = noisy_vmoe_gate(
                 gate_inp, w_gate, top_k=self.moe_top_k,
                 noise_std=self.vmoe_noisy_std, train=train, rng=r,
-                build_dense_gates=False,
+                build_dense_gates=False, clean_logits=clean_t,
             )
             tsm = ts_mask[t].reshape(-1)  # [B*N]
             if reuse_flat is not None:
@@ -335,28 +372,26 @@ class TokenBlock(nn.Module):
             drop_overflow = drop_overflow + jnp.maximum(
                 hist - drop_cap, 0.0
             ).sum()
-            ffn_fn = None
-            if self.use_pallas_ffn:
-                from m3vit_tpu.ops.expert_ffn import (
-                    make_pallas_ffn_fn, pallas_expert_ffn_available)
-                if pallas_expert_ffn_available():
-                    ffn_fn = make_pallas_ffn_fn()
-            delta = moe_ffn(
-                normed, idx.reshape(B, N, self.moe_top_k),
-                gate.top_k_gates.reshape(B, N, self.moe_top_k), params,
-                mesh=self.mesh, expert_axis=self.expert_axis,
-                capacity_factor=cf, compute_dtype=self.dtype,
-                ffn_fn=ffn_fn,
-            )
-            dflat = delta.reshape(B * N, C).astype(jnp.float32)
-            if reuse_flat is not None:
-                dflat = jnp.where(can_reuse[:, None], cache, dflat)
-                fill = task_in_reuse & tsm & ~cache_valid  # reference :746
-                cache = jnp.where(fill[:, None], dflat, cache)
-                cache_valid = cache_valid | fill
-            used = dflat.reshape(B, N, C)
-            outs = outs.at[t].add(
-                (used * ts_mask[t][..., None]).astype(outs.dtype))
+            if batched:
+                idx_list.append(idx)
+                gates_list.append(gate.top_k_gates)
+            else:
+                delta = moe_ffn(
+                    normed, idx.reshape(B, N, self.moe_top_k),
+                    gate.top_k_gates.reshape(B, N, self.moe_top_k), params,
+                    mesh=self.mesh, expert_axis=self.expert_axis,
+                    capacity_factor=cf, compute_dtype=self.dtype,
+                    ffn_fn=ffn_fn,
+                )
+                dflat = delta.reshape(B * N, C).astype(jnp.float32)
+                if reuse_flat is not None:
+                    dflat = jnp.where(can_reuse[:, None], cache, dflat)
+                    fill = task_in_reuse & tsm & ~cache_valid  # ref :746
+                    cache = jnp.where(fill[:, None], dflat, cache)
+                    cache_valid = cache_valid | fill
+                used = dflat.reshape(B, N, C)
+                outs = outs.at[t].add(
+                    (used * ts_mask[t][..., None]).astype(outs.dtype))
             computed_tokens = computed_tokens + compute.sum()
             reused_tokens = reused_tokens + can_reuse.sum()
 
@@ -372,6 +407,18 @@ class TokenBlock(nn.Module):
                 masked_gate, self.moe_top_k, E, train,
                 row_mask=cmf,
             )
+        if batched:
+            delta_all = moe_ffn_streams(
+                normed_all.reshape(T, B * N, C),
+                jnp.stack(idx_list),
+                jnp.stack(gates_list),
+                params,
+                mesh=self.mesh, expert_axis=self.expert_axis,
+                capacity_factor=cf, compute_dtype=self.dtype,
+                ffn_fn=ffn_fn,
+            )
+            used_all = delta_all.reshape(T, B, N, C).astype(jnp.float32)
+            outs = outs + (used_all * ts_mask[..., None]).astype(outs.dtype)
         stats["computed_tokens"] = computed_tokens
         stats["reused_tokens"] = reused_tokens
         stats["dropped_slot_fraction"] = drop_overflow / jnp.maximum(
@@ -445,6 +492,7 @@ class TokenVisionTransformerMoE(nn.Module):
     eval_capacity_factor: float = 4.0
     use_pallas_ffn: bool = False
     use_pallas_dense_ffn: bool = False
+    batched_dispatch: bool = True
     mesh: Any = None
     expert_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
@@ -510,6 +558,7 @@ class TokenVisionTransformerMoE(nn.Module):
                 eval_capacity_factor=self.eval_capacity_factor,
                 use_pallas_ffn=self.use_pallas_ffn,
                 use_pallas_dense_ffn=self.use_pallas_dense_ffn,
+                batched_dispatch=self.batched_dispatch,
                 mesh=self.mesh, expert_axis=self.expert_axis,
                 use_task_conditioned_attn=self.use_task_conditioned_attn,
                 attn_num_experts=self.attn_num_experts,

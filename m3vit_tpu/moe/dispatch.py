@@ -332,6 +332,28 @@ def expert_ffn_dense(
     return (o + params.b2[:, None, :].astype(jnp.float32)).astype(cd)
 
 
+def _stream_slot_ids(
+    top_k_indices: jnp.ndarray,  # [T, K] physical expert ids (or >= E masked)
+    stream_ids: jnp.ndarray,  # [T] int32 stream (task) id per token
+    num_experts: int,
+    num_streams: int,
+) -> jnp.ndarray:
+    """Map (expert, stream) to a *virtual* expert id e*num_streams + t.
+
+    Stacking independent token streams (the token variant's per-task MoE
+    passes) into ONE dispatch: each (stream, expert) pair gets its own
+    capacity bucket, and because virtual ids are expert-major the [E*T*C, d]
+    buffer reshapes to [E, T*C, d] physical GEMM groups with no data
+    movement.  Slot assignment (stable sort by virtual id, rank < capacity)
+    is bitwise-identical to running each stream through its own dispatch.
+    Masked ids (>= E) stay masked (>= E*T)."""
+    return jnp.where(
+        top_k_indices < num_experts,
+        top_k_indices * num_streams + stream_ids[:, None],
+        num_experts * num_streams,
+    )
+
+
 def moe_ffn_local(
     x: jnp.ndarray,  # [T, d_model]
     top_k_indices: jnp.ndarray,  # [T, K] global expert ids
@@ -344,18 +366,28 @@ def moe_ffn_local(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     ffn_fn: Optional[Callable] = None,
+    num_streams: int = 1,
+    stream_ids: Optional[jnp.ndarray] = None,  # [T] when num_streams > 1
 ) -> jnp.ndarray:
-    """Single-shard MoE FFN: gather-dispatch -> per-expert GEMMs -> combine."""
+    """Single-shard MoE FFN: gather-dispatch -> per-expert GEMMs -> combine.
+
+    `capacity` is per (stream, expert); with num_streams > 1 the expert
+    buffer holds num_streams*capacity rows per physical expert."""
     T, d = x.shape
     K = top_k_indices.shape[-1]
     E = params.w1.shape[0]
 
     scores = top_k_gates.astype(jnp.float32)
-    plan = make_dispatch_plan(top_k_indices.reshape(-1), E, capacity,
+    if num_streams > 1:
+        ids = _stream_slot_ids(top_k_indices, stream_ids, E, num_streams)
+    else:
+        ids = top_k_indices
+    plan = make_dispatch_plan(ids.reshape(-1), E * num_streams, capacity,
                               scores_flat=scores.reshape(-1))
     # token id per expert slot; empty slots (src_flat == S == T*K) map to T
     src_tok = plan.src_flat // K
-    h = _dispatch_gather(x, src_tok, plan.dst).reshape(E, capacity, d)
+    h = _dispatch_gather(x, src_tok, plan.dst).reshape(
+        E, num_streams * capacity, d)
     run_ffn = ffn_fn if ffn_fn is not None else expert_ffn_dense
     y = run_ffn(
         h,
@@ -365,8 +397,8 @@ def moe_ffn_local(
         dropout_rate=dropout_rate,
         dropout_rng=dropout_rng,
     )
-    out = _combine_gather(y.reshape(E * capacity, d), scores, plan.dst,
-                          src_tok, plan.w_slot)
+    out = _combine_gather(y.reshape(E * num_streams * capacity, d), scores,
+                          plan.dst, src_tok, plan.w_slot)
     return out.astype(x.dtype)
 
 
@@ -384,32 +416,42 @@ def moe_ffn_expert_parallel(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     ffn_fn: Optional[Callable] = None,
+    num_streams: int = 1,
+    stream_ids: Optional[jnp.ndarray] = None,  # [T_local]
 ) -> jnp.ndarray:
     """Expert-parallel MoE FFN body. MUST run inside shard_map with
     `expert_axis` bound; implements the fastmoe exchange with
     lax.all_to_all over ICI (reference: custom_moe_layer.py:263-265).
-    """
+
+    `capacity` is per (source shard, stream, expert); virtual-expert slots
+    are expert-major so the exchange reshapes are the num_streams == 1 ones
+    with capacity -> num_streams * capacity."""
     T, d = x.shape
     K = top_k_indices.shape[-1]
     ep = jax.lax.axis_size(expert_axis)
     E = num_experts_global
     assert E % ep == 0, "global expert count must divide the expert axis"
     E_local = E // ep
+    cap_s = num_streams * capacity  # buffer rows per physical expert
 
     scores = top_k_gates.astype(jnp.float32)
-    plan = make_dispatch_plan(top_k_indices.reshape(-1), E, capacity,
+    if num_streams > 1:
+        ids = _stream_slot_ids(top_k_indices, stream_ids, E, num_streams)
+    else:
+        ids = top_k_indices
+    plan = make_dispatch_plan(ids.reshape(-1), E * num_streams, capacity,
                               scores_flat=scores.reshape(-1))
     src_tok = plan.src_flat // K
-    send = _dispatch_gather(x, src_tok, plan.dst)  # [E*C, d] by global id
+    send = _dispatch_gather(x, src_tok, plan.dst)  # [E*cap_s, d] by global id
 
     # exchange: rows for experts owned by device j go to device j
-    send = send.reshape(ep, E_local * capacity, d)
+    send = send.reshape(ep, E_local * cap_s, d)
     recv = jax.lax.all_to_all(send, expert_axis, split_axis=0, concat_axis=0)
     # recv[src, e_local*C + c] -> regroup by local expert across sources
     h = (
-        recv.reshape(ep, E_local, capacity, d)
+        recv.reshape(ep, E_local, cap_s, d)
         .transpose(1, 0, 2, 3)
-        .reshape(E_local, ep * capacity, d)
+        .reshape(E_local, ep * cap_s, d)
     )
     run_ffn = ffn_fn if ffn_fn is not None else expert_ffn_dense
     y = run_ffn(
@@ -421,14 +463,34 @@ def moe_ffn_expert_parallel(
         dropout_rng=dropout_rng,
     )
     y = (
-        y.reshape(E_local, ep, capacity, d)
+        y.reshape(E_local, ep, cap_s, d)
         .transpose(1, 0, 2, 3)
-        .reshape(ep, E_local * capacity, d)
+        .reshape(ep, E_local * cap_s, d)
     )
     back = jax.lax.all_to_all(y, expert_axis, split_axis=0, concat_axis=0)
-    out = _combine_gather(back.reshape(E * capacity, d), scores, plan.dst,
+    out = _combine_gather(back.reshape(E * cap_s, d), scores, plan.dst,
                           src_tok, plan.w_slot)
     return out.astype(x.dtype)
+
+
+def _expert_param_spec(params, expert_axis):
+    """PartitionSpecs sharding the expert-major weight banks over
+    `expert_axis` (everything else replicated)."""
+    if isinstance(params, MoEFfnParamsQ):
+        return MoEFfnParamsQ(
+            w1=P(expert_axis, None, None),
+            b1=P(expert_axis, None),
+            w2=P(expert_axis, None, None),
+            b2=P(expert_axis, None),
+            s1=P(expert_axis, None),
+            s2=P(expert_axis, None),
+        )
+    return MoEFfnParams(
+        w1=P(expert_axis, None, None),
+        b1=P(expert_axis, None),
+        w2=P(expert_axis, None, None),
+        b2=P(expert_axis, None),
+    )
 
 
 def moe_ffn(
@@ -486,22 +548,7 @@ def moe_ffn(
     cap = compute_capacity(T_local, K, E, capacity_factor)
 
     token_spec = P(tuple(batch_axes))
-    if isinstance(params, MoEFfnParamsQ):
-        param_spec = MoEFfnParamsQ(
-            w1=P(expert_axis, None, None),
-            b1=P(expert_axis, None),
-            w2=P(expert_axis, None, None),
-            b2=P(expert_axis, None),
-            s1=P(expert_axis, None),
-            s2=P(expert_axis, None),
-        )
-    else:
-        param_spec = MoEFfnParams(
-            w1=P(expert_axis, None, None),
-            b1=P(expert_axis, None),
-            w2=P(expert_axis, None, None),
-            b2=P(expert_axis, None),
-        )
+    param_spec = _expert_param_spec(params, expert_axis)
 
     def body(xt, it, gt, params, rng):
         if rng is not None:
@@ -523,3 +570,105 @@ def moe_ffn(
         check_vma=False,
     )(xt, it, gt, params, dropout_rng)
     return out.reshape(orig_shape)
+
+
+def moe_ffn_streams(
+    x: jnp.ndarray,  # [T_s, S, d] — T_s independent token streams
+    top_k_indices: jnp.ndarray,  # [T_s, S, K] physical expert ids (E = mask)
+    top_k_gates: jnp.ndarray,  # [T_s, S, K]
+    params: MoEFfnParams,
+    *,
+    mesh=None,
+    expert_axis: Optional[str] = None,
+    batch_axes=None,
+    capacity_factor: float = 2.0,
+    activation: Callable = None,
+    compute_dtype=jnp.bfloat16,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    num_experts_global: Optional[int] = None,
+    ffn_fn: Optional[Callable] = None,
+) -> jnp.ndarray:
+    """Run T_s independent token streams (the token variant's per-task MoE
+    passes, reference token/vision_transformer_moe.py:743-812) through ONE
+    sort / gather / grouped-GEMM / combine instead of T_s of each.
+
+    Each (stream, expert) pair keeps its own capacity bucket via virtual
+    expert ids (see _stream_slot_ids), so slot assignment, drops, and
+    outputs are bitwise-identical to T_s separate moe_ffn calls — only the
+    kernel-launch count changes (and the GEMM groups grow T_s× rows).
+    Under a sharded mesh the tokens are laid out shard-major so every
+    device holds exactly the union of the per-stream shards it would have
+    owned, preserving per-(source shard, stream, expert) capacity."""
+    Ts, S, d = x.shape
+    K = top_k_indices.shape[-1]
+    E = num_experts_global or params.w1.shape[0]
+
+    ep = 1
+    if (mesh is not None and expert_axis is not None
+            and expert_axis in mesh.shape):
+        ep = mesh.shape[expert_axis]
+
+    if ep <= 1:
+        cap = compute_capacity(S, K, E, capacity_factor)
+        sid = jnp.repeat(jnp.arange(Ts, dtype=jnp.int32), S)
+        out = moe_ffn_local(
+            x.reshape(Ts * S, d), top_k_indices.reshape(Ts * S, K),
+            top_k_gates.reshape(Ts * S, K), params,
+            capacity=cap, activation=activation,
+            compute_dtype=compute_dtype, dropout_rate=dropout_rate,
+            dropout_rng=dropout_rng, ffn_fn=ffn_fn,
+            num_streams=Ts, stream_ids=sid,
+        )
+        return out.reshape(Ts, S, d)
+
+    if batch_axes is None:
+        batch_axes = tuple(mesh.axis_names)
+    n_shards = 1
+    for ax in batch_axes:
+        n_shards *= mesh.shape.get(ax, 1)
+    assert S % n_shards == 0, (
+        f"stream token count {S} not divisible by {n_shards} shards")
+    S_local = S // n_shards
+    cap = compute_capacity(S_local, K, E, capacity_factor)
+
+    def to_shard_major(a):
+        # [T_s, S, ...] -> [n_shards * T_s * S_local, ...] laid out
+        # (shard, stream, local token): shard_map's leading-axis split then
+        # hands device i the same token set as T_s per-stream calls would
+        return (a.reshape((Ts, n_shards, S_local) + a.shape[2:])
+                .swapaxes(0, 1)
+                .reshape((n_shards * Ts * S_local,) + a.shape[2:]))
+
+    xt = to_shard_major(x)
+    it = to_shard_major(top_k_indices)
+    gt = to_shard_major(top_k_gates)
+    token_spec = P(tuple(batch_axes))
+    param_spec = _expert_param_spec(params, expert_axis)
+
+    def body(xt, it, gt, params, rng):
+        if rng is not None:
+            for ax in mesh.axis_names:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
+        # local block layout is [T_s, S_local] by construction — the
+        # stream ids are static
+        sid = jnp.repeat(jnp.arange(Ts, dtype=jnp.int32), S_local)
+        return moe_ffn_expert_parallel(
+            xt, it, gt, params,
+            expert_axis=expert_axis, num_experts_global=E, capacity=cap,
+            activation=activation, compute_dtype=compute_dtype,
+            dropout_rate=dropout_rate, dropout_rng=rng, ffn_fn=ffn_fn,
+            num_streams=Ts, stream_ids=sid,
+        )
+
+    out = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(token_spec, token_spec, token_spec, param_spec,
+                  None if dropout_rng is None else P()),
+        out_specs=token_spec,
+        check_vma=False,
+    )(xt, it, gt, params, dropout_rng)
+    return (out.reshape(n_shards, Ts, S_local, d)
+            .swapaxes(0, 1)
+            .reshape(Ts, S, d))

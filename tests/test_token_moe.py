@@ -308,3 +308,65 @@ def test_share_temp_argument_changes_training_forward():
         for t in p_default
     )
     assert diffs > 0, "temperature had no effect on the training forward"
+
+
+def test_batched_dispatch_matches_loop():
+    """The stacked-stream MoE dispatch (batched_dispatch=True, the default)
+    reproduces the per-task loop: same forward streams, same aux loss, same
+    gradients — the per-task noise draws and per-(task, expert) capacity
+    buckets are preserved exactly (moe_ffn_streams)."""
+    model_b = tiny_token_backbone(num_tasks=3, capacity_factor=1.25)
+    model_l = tiny_token_backbone(num_tasks=3, capacity_factor=1.25,
+                                  batched_dispatch=False)
+    x = jax.random.normal(jax.random.key(0), (2, IMG, IMG, 3))
+    v = model_b.init(
+        {"params": jax.random.key(1), "gate_noise": jax.random.key(2)},
+        x, train=True,
+    )
+
+    def run(model):
+        def loss(params):
+            s, aux, stats = model.apply(
+                {"params": params}, x, train=True,
+                rngs={"gate_noise": jax.random.key(3)},
+            )
+            return (sum(jnp.mean(s[t] ** 2) for t in s) + 0.01 * aux,
+                    (s, stats))
+        (val, (s, stats)), g = jax.value_and_grad(loss, has_aux=True)(
+            v["params"])
+        return val, s, stats, g
+
+    val_b, s_b, st_b, g_b = run(model_b)
+    val_l, s_l, st_l, g_l = run(model_l)
+    for t in s_b:
+        np.testing.assert_allclose(np.asarray(s_b[t]), np.asarray(s_l[t]),
+                                   rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(val_b), float(val_l), rtol=1e-6)
+    np.testing.assert_allclose(float(st_b["computed_tokens"]),
+                               float(st_l["computed_tokens"]))
+    np.testing.assert_allclose(float(st_b["dropped_slot_fraction"]),
+                               float(st_l["dropped_slot_fraction"]))
+    for a, b in zip(jax.tree.leaves(g_b), jax.tree.leaves(g_l)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=1e-6)
+
+
+def test_batched_dispatch_expert_parallel_matches_local(mesh8):
+    """Batched dispatch under an (data, expert) mesh == unsharded result."""
+    model = tiny_token_backbone(mesh=mesh8, expert_axis="expert")
+    x = jax.random.normal(jax.random.key(0), (8, IMG, IMG, 3))
+    v = model.init(
+        {"params": jax.random.key(1), "gate_noise": jax.random.key(2)},
+        x, train=False,
+    )
+    from m3vit_tpu.parallel.mesh import batch_sharding, param_shardings
+
+    params = jax.device_put(v["params"], param_shardings(v["params"], mesh8))
+    xs = jax.device_put(x, batch_sharding(mesh8))
+    streams, _, _ = jax.jit(
+        lambda p, xx: model.apply({"params": p}, xx, train=False)
+    )(params, xs)
+    local = tiny_token_backbone()
+    s2, _, _ = local.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(streams[0]), np.asarray(s2[0]),
+                               atol=2e-4)
