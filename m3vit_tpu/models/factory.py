@@ -297,7 +297,7 @@ def build_model(p, mesh=None, expert_axis: Optional[str] = "expert"):
                 p.get("moe_eval_capacity_factor", 4.0)),
             use_pallas_ffn=bool(p.get("use_pallas_ffn", True)),
             use_pallas_dense_ffn=_dense_pallas_default(p),
-            batched_dispatch=bool(p.get("batched_dispatch", True)),
+            batched_dispatch=bool(p.get("batched_dispatch", False)),
             mesh=mesh, expert_axis=expert_axis, dtype=dtype,
             use_checkpointing=bool(p.get("use_checkpointing", False)),
         )

@@ -154,8 +154,13 @@ class TokenBlock(nn.Module):
     use_pallas_ffn: bool = False
     use_pallas_dense_ffn: bool = False  # fused MlpBlock in dense stages
     # fold the T per-task MoE dispatches into one stacked dispatch
-    # (moe_ffn_streams) when the reuse cache is off — exact numerics
-    batched_dispatch: bool = True
+    # (moe_ffn_streams) when the reuse cache is off — exact numerics.
+    # Default OFF: measured 318 vs 283 ms/step on v5e-1 (B=8 512^2) — the
+    # combine-side gathers stream ~137 GB/s from the 5x-larger slot buffer
+    # (158 MB) vs ~650 GB/s from the per-task 31 MB one (page locality),
+    # outweighing the 5x launch savings.  Re-evaluate on pods where the
+    # per-dispatch latency and a2a count dominate.
+    batched_dispatch: bool = False
     mesh: Any = None
     expert_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
@@ -376,8 +381,12 @@ class TokenBlock(nn.Module):
                 idx_list.append(idx)
                 gates_list.append(gate.top_k_gates)
             else:
+                # dispatch at the compute dtype (the FFN rounds its input to
+                # self.dtype anyway — rounding BEFORE the gather moves half
+                # the bytes; the f32 gate path above is unaffected)
                 delta = moe_ffn(
-                    normed, idx.reshape(B, N, self.moe_top_k),
+                    normed.astype(self.dtype),
+                    idx.reshape(B, N, self.moe_top_k),
                     gate.top_k_gates.reshape(B, N, self.moe_top_k), params,
                     mesh=self.mesh, expert_axis=self.expert_axis,
                     capacity_factor=cf, compute_dtype=self.dtype,
@@ -409,7 +418,7 @@ class TokenBlock(nn.Module):
             )
         if batched:
             delta_all = moe_ffn_streams(
-                normed_all.reshape(T, B * N, C),
+                normed_all.reshape(T, B * N, C).astype(self.dtype),
                 jnp.stack(idx_list),
                 jnp.stack(gates_list),
                 params,
@@ -492,7 +501,7 @@ class TokenVisionTransformerMoE(nn.Module):
     eval_capacity_factor: float = 4.0
     use_pallas_ffn: bool = False
     use_pallas_dense_ffn: bool = False
-    batched_dispatch: bool = True
+    batched_dispatch: bool = False
     mesh: Any = None
     expert_axis: Optional[str] = None
     dtype: Dtype = jnp.float32

@@ -258,7 +258,12 @@ def _combine_gather(
     expert slot — precomputed by make_dispatch_plan so the backward is pure
     row gathers."""
     T, K = scores.shape
-    ys = jnp.take(y, dst, axis=0, mode="fill", fill_value=0).reshape(T, K, -1)
+    ys = jnp.take(y, dst, axis=0, mode="fill", fill_value=0)
+    # keep the gather at y's dtype: without the barrier XLA hoists the f32
+    # convert ABOVE the gather, materializing the whole [E*C, d] expert
+    # buffer in f32 and streaming the gather at twice the bytes (measured
+    # +~10 ms/step on the token variant's stacked dispatch)
+    ys = jax.lax.optimization_barrier(ys).reshape(T, K, -1)
     return (scores[..., None] * ys.astype(scores.dtype)).sum(axis=1)
 
 
@@ -279,7 +284,12 @@ def _combine_gather_bwd(res, g):  # g: [T, d] f32
     gtok = jnp.take(gc, src_tok, axis=0, mode="fill", fill_value=0)
     grad_y = (w_slot.astype(y.dtype)[:, None] * gtok).astype(y.dtype)
     T, K = scores.shape
-    ys = jnp.take(y, dst, axis=0, mode="fill", fill_value=0).reshape(T, K, -1)
+    ys = jnp.take(y, dst, axis=0, mode="fill", fill_value=0)
+    # same barrier as the forward: keep this gather at y's dtype instead of
+    # letting XLA pre-convert the whole expert buffer to f32 for the
+    # f32-accumulated grad_scores product (the f32 convert fuses into the
+    # product pass after the barrier)
+    ys = jax.lax.optimization_barrier(ys).reshape(T, K, -1)
     grad_scores = (ys * gc[:, None, :]).sum(-1, dtype=jnp.float32)
     return grad_y, grad_scores.astype(scores.dtype), None, None, None
 

@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--out", default="/tmp/m3vit_token_profile")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--loop", action="store_true",
+                    help="per-task MoE dispatch loop (batched_dispatch off)")
     args = ap.parse_args()
 
     from m3vit_tpu.config import create_config
@@ -43,7 +45,8 @@ def main():
     from m3vit_tpu.tasks import parse_task_dictionary
 
     p = create_config(None, "configs/pascal/token_moe_multi_task.yml",
-                      {"use_checkpointing": args.remat}, make_dirs=False)
+                      {"use_checkpointing": args.remat,
+                       "batched_dispatch": not args.loop}, make_dirs=False)
     model = build_model(p)
     tasks, _ = parse_task_dictionary(p["train_db_name"], p["task_dictionary"]), None
     tasks = tasks[0] if isinstance(tasks, tuple) else tasks

@@ -187,7 +187,7 @@ def test_token_backbone_expert_parallel(mesh8):
     )(params, xs)
     assert np.isfinite(np.asarray(streams[0])).all()
     # equal to the unsharded run
-    local = tiny_token_backbone()
+    local = tiny_token_backbone(batched_dispatch=True)
     s2, _, _ = local.apply(v, x, train=False)
     np.testing.assert_allclose(np.asarray(streams[0]), np.asarray(s2[0]),
                                atol=2e-4)
@@ -315,7 +315,8 @@ def test_batched_dispatch_matches_loop():
     reproduces the per-task loop: same forward streams, same aux loss, same
     gradients — the per-task noise draws and per-(task, expert) capacity
     buckets are preserved exactly (moe_ffn_streams)."""
-    model_b = tiny_token_backbone(num_tasks=3, capacity_factor=1.25)
+    model_b = tiny_token_backbone(num_tasks=3, capacity_factor=1.25,
+                                  batched_dispatch=True)
     model_l = tiny_token_backbone(num_tasks=3, capacity_factor=1.25,
                                   batched_dispatch=False)
     x = jax.random.normal(jax.random.key(0), (2, IMG, IMG, 3))
@@ -353,7 +354,8 @@ def test_batched_dispatch_matches_loop():
 
 def test_batched_dispatch_expert_parallel_matches_local(mesh8):
     """Batched dispatch under an (data, expert) mesh == unsharded result."""
-    model = tiny_token_backbone(mesh=mesh8, expert_axis="expert")
+    model = tiny_token_backbone(mesh=mesh8, expert_axis="expert",
+                                batched_dispatch=True)
     x = jax.random.normal(jax.random.key(0), (8, IMG, IMG, 3))
     v = model.init(
         {"params": jax.random.key(1), "gate_noise": jax.random.key(2)},
