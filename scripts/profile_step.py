@@ -104,7 +104,7 @@ def main():
     args = ap.parse_args()
 
     if args.parse_only:
-        report(args.parse_only, args.top)
+        report(args.parse_only, args.top, n_steps=args.steps, by_cat=True)
         return
 
     from __graft_entry__ import build_flagship
@@ -165,12 +165,26 @@ def report(profile_dir: str, top: int, n_steps: int | None = None,
         print(f"  {cat:12s} {ps/1e9:9.2f}")
     if by_cat:
         # aggregate by output-shape signature: where does the long tail go?
-        shape_re = re.compile(r"=\s*\(?([a-z0-9]+\[[0-9,]*\])")
+        # Tuple outputs bin by their LARGEST element, not the first — a
+        # conv+BN-stats kOutput fusion is (f32[256], f32[256], bf16[8,...])
+        # and binning it under f32[256] misreads convs-at-peak as a
+        # small-reduce storm (see scripts/bench_head_bn.py)
+        tuple_re = re.compile(r"=\s*\(([^)]*)\)\s*(?:fusion|custom-call)")
+        shape_re = re.compile(r"([a-z0-9]+\[[0-9,]*\])")
         by_shape = collections.Counter()
         by_shape_n = collections.Counter()
+
+        def _elems(s):
+            n = 1
+            for d in re.findall(r"\d+", s.split("[", 1)[1]):
+                n *= int(d)
+            return n
+
         for name, ps in per_op.items():
-            m = shape_re.search(name)
-            sig = m.group(1) if m else "?"
+            m = tuple_re.search(name)
+            cands = (shape_re.findall(m.group(1)) if m
+                     else shape_re.findall(name.split(" = ", 1)[-1][:80]))
+            sig = max(cands, key=_elems) if cands else "?"
             by_shape[sig] += ps
             by_shape_n[sig] += n_events[name]
         print("\n## by output shape (ms, events)")
