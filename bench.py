@@ -52,6 +52,9 @@ def main():
                          "compile-time lever — see PARITY.md)")
     ap.add_argument("--scan_blocks", action="store_true",
                     help="A/B: lax.scan the dense/MoE block pairs")
+    ap.add_argument("--ln_mlp", action="store_true",
+                    help="A/B: fully fuse the dense blocks' LN+MLP+residual "
+                         "sublayer into one Pallas kernel (ops/ln_mlp.py)")
     ap.add_argument("--no_shared_prefix", action="store_true",
                     help="A/B: per-task passes recompute the task-"
                          "independent prefix (patch embed + block_0) "
@@ -80,6 +83,7 @@ def main():
         # None = backend auto-detect (kernel on TPU, Dense path elsewhere);
         # forcing True off-TPU would hit the slow interpret path (ADVICE r2)
         use_pallas_dense_ffn=False if args.no_dense_pallas else None,
+        use_pallas_ln_mlp=args.ln_mlp,
         scan_tasks=args.scan_tasks, scan_blocks=args.scan_blocks,
         # shared task-independent prefix (exact numerics at the flagship
         # point: dropout 0); mutually exclusive with the scan strategies

@@ -92,6 +92,7 @@ def build_backbone(p, mesh=None, expert_axis: Optional[str] = "expert"):
             moe_gate_type=str(p.get("moe_gate_type", "noisy_vmoe")),
             use_pallas_ffn=bool(p.get("use_pallas_ffn", True)),
             use_pallas_dense_ffn=_dense_pallas_default(p),
+            use_pallas_ln_mlp=bool(p.get("use_pallas_ln_mlp", False)),
             expert_weights_int8=bool(p.get("expert_weights_int8", False)),
             scan_blocks=bool(p.get("scan_blocks", False)),
             # research knobs (reference train_fastmoe.py:107-155 CLI flags)
@@ -111,6 +112,7 @@ def build_backbone(p, mesh=None, expert_axis: Optional[str] = "expert"):
     if name in ("VisionTransformer", "VisionTransformer_dense"):
         return VisionTransformer(
             use_pallas_dense_ffn=_dense_pallas_default(p),
+            use_pallas_ln_mlp=bool(p.get("use_pallas_ln_mlp", False)),
             mesh=mesh,
             **common,
         ), False

@@ -178,6 +178,33 @@ class _DenseParams(nn.Module):
         return k, b
 
 
+class _LNParams(nn.Module):
+    """Parameter-only stand-in for ``nn.LayerNorm`` (``scale``/``bias``,
+    identical tree), for the fused LN+MLP+residual path."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return s, b
+
+
+class _MlpParams(nn.Module):
+    """Parameter-only stand-in for ``MlpBlock`` (``fc1``/``fc2`` kernels and
+    biases, identical tree), for the fused LN+MLP+residual path."""
+
+    hidden_dim: int
+    in_dim: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.hidden_dim, self.in_dim, name="fc1")()
+        w2, b2 = _DenseParams(self.in_dim, self.hidden_dim, name="fc2")()
+        return w1, b1, w2, b2
+
+
 class MlpBlock(nn.Module):
     """Dense transformer MLP (reference Mlp :245-261).
 
@@ -269,6 +296,12 @@ class DenseBlock(nn.Module):
     dtype: Dtype = jnp.float32
     mesh: Any = None  # enables the 'seq'-axis attention path when present
     use_pallas_ffn: bool = False  # fused MLP kernel (see MlpBlock.use_pallas)
+    # fully fuse the MLP sublayer (LN + MLP + residual add) into ONE Pallas
+    # kernel (ops/ln_mlp.py): removes the HBM materializations on both sides
+    # of the pallas_call fusion barrier.  Only taken when drop-path and
+    # dropout are inactive at the site; otherwise falls back to the
+    # composition below (identical param tree either way).
+    use_pallas_ln_mlp: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -283,6 +316,34 @@ class DenseBlock(nn.Module):
             self.drop, dtype=self.dtype, mesh=self.mesh, name="attn",
         )(h.astype(self.dtype), train)
         x = x + drop_path(h, self.drop_path_rate, train, dp_rng1)
+
+        ln_mlp_fused = (
+            self.use_pallas_ln_mlp
+            and dp_rng2 is None
+            and not (self.drop > 0 and train)
+            # the kernel emits the compute dtype; only legal when the
+            # residual stream already flows in it (true on the flagship)
+            and x.dtype == self.dtype
+        )
+        if ln_mlp_fused:
+            from m3vit_tpu.ops.expert_ffn import dense_mlp_fused_mode
+
+            mode = dense_mlp_fused_mode()
+            if mode is None:
+                _warn_dense_pallas_unavailable_once()
+                ln_mlp_fused = False
+        if ln_mlp_fused:
+            from m3vit_tpu.ops.ln_mlp import fused_dense_ln_mlp
+
+            gamma, beta = _LNParams(x.shape[-1], name="norm2")()
+            w1, b1, w2, b2 = _MlpParams(
+                int(x.shape[-1] * self.mlp_ratio), x.shape[-1], name="mlp")()
+            cd = self.dtype
+            return fused_dense_ln_mlp(
+                x.astype(cd), gamma, beta, w1.astype(cd), b1, w2.astype(cd),
+                b2, eps=1e-6, interpret=mode == "interpret", mesh=self.mesh,
+                seq_axis="seq",
+            )
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         h = MlpBlock(
             int(x.shape[-1] * self.mlp_ratio), drop=self.drop, dtype=self.dtype,
@@ -310,6 +371,7 @@ class VisionTransformer(nn.Module):
     dtype: Dtype = jnp.float32
     use_checkpointing: bool = False
     use_pallas_dense_ffn: bool = False
+    use_pallas_ln_mlp: bool = False  # fused LN+MLP+residual (ops/ln_mlp.py)
     mesh: Any = None
 
     @nn.compact
@@ -359,6 +421,7 @@ class VisionTransformer(nn.Module):
                 qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                 drop=self.drop_rate, attn_drop=self.attn_drop_rate,
                 drop_path_rate=dpr[i], dtype=self.dtype, mesh=self.mesh,
-                use_pallas_ffn=self.use_pallas_dense_ffn, name=f"block_{i}",
+                use_pallas_ffn=self.use_pallas_dense_ffn,
+                use_pallas_ln_mlp=self.use_pallas_ln_mlp, name=f"block_{i}",
             )(tokens, train)
         return tokens

@@ -639,6 +639,7 @@ class _BlockPair(nn.Module):
     gate_type: str
     use_pallas_ffn: bool
     use_pallas_dense_ffn: bool
+    use_pallas_ln_mlp: bool
     expert_weights_int8: bool
     cv_segments: int
     gate_input_ahead: bool
@@ -662,6 +663,7 @@ class _BlockPair(nn.Module):
             drop=self.drop, attn_drop=self.attn_drop,
             drop_path_rate=0.0, dtype=self.dtype, mesh=self.mesh,
             use_pallas_ffn=self.use_pallas_dense_ffn,
+            use_pallas_ln_mlp=self.use_pallas_ln_mlp,
             name="dense",
         )(tokens, train)
         tokens, cv, stats = MoEBlock(
@@ -738,6 +740,10 @@ class VisionTransformerMoE(nn.Module):
     # fused Pallas kernel for the DENSE blocks' MLPs too (vit.MlpBlock
     # use_pallas: hidden activation stays in VMEM, remat-style backward)
     use_pallas_dense_ffn: bool = False
+    # fully fuse the dense blocks' LN+MLP+residual sublayer into one Pallas
+    # kernel (ops/ln_mlp.py); supersedes use_pallas_dense_ffn at sites where
+    # it is legal (no drop-path/dropout), falls back to it elsewhere
+    use_pallas_ln_mlp: bool = False
     expert_weights_int8: bool = False
     # route with each MoE block's INPUT tokens instead of the post-norm2
     # stream (reference origin/vision_transformer_moe.py:276-277)
@@ -923,6 +929,7 @@ class VisionTransformerMoE(nn.Module):
                 gate_type=self.moe_gate_type,
                 use_pallas_ffn=self.use_pallas_ffn,
                 use_pallas_dense_ffn=self.use_pallas_dense_ffn,
+                use_pallas_ln_mlp=self.use_pallas_ln_mlp,
                 expert_weights_int8=self.expert_weights_int8,
                 cv_segments=n_stack,
                 gate_input_ahead=self.gate_input_ahead,
@@ -943,6 +950,7 @@ class VisionTransformerMoE(nn.Module):
                     drop=self.drop_rate, attn_drop=self.attn_drop_rate,
                     drop_path_rate=dpr[i], dtype=self.dtype, mesh=self.mesh,
                     use_pallas_ffn=self.use_pallas_dense_ffn,
+                    use_pallas_ln_mlp=self.use_pallas_ln_mlp,
                     name=f"block_{i}",
                 ))
             else:

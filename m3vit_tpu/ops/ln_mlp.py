@@ -45,6 +45,66 @@ from m3vit_tpu.ops.expert_ffn import (
 )
 
 
+def fused_dense_ln_mlp(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    *,
+    eps: float = 1e-6,
+    interpret: bool = False,
+    mesh=None,
+    seq_axis: str = "seq",
+) -> jnp.ndarray:
+    """x + MLP(LN(x)) on [B, N, C] tokens.
+
+    Same GSPMD treatment as ops/expert_ffn.fused_dense_mlp: a top-level
+    pallas_call is unpartitionable on a >1-device mesh, and the site is
+    embarrassingly token-parallel — so multi-device meshes run it inside
+    shard_map (batch over non-seq axes, sequence over ``seq_axis``) with
+    replicated weights; single-device meshes skip shard_map."""
+    B, N, _ = x.shape
+
+    def local(xs):
+        flat = xs.reshape(-1, xs.shape[-1])
+        out = fused_ln_mlp_residual(flat, gamma, beta, w1, b1, w2, b2, eps,
+                                    interpret)
+        return out.reshape(xs.shape)
+
+    if mesh is None or mesh.size <= 1:
+        return local(x)
+
+    from jax.sharding import PartitionSpec as P
+
+    batch_axes = tuple(
+        a for a in mesh.axis_names if a != seq_axis and mesh.shape[a] > 1)
+    seq_sharded = mesh.shape.get(seq_axis, 1) > 1
+    nb = 1
+    for a in batch_axes:
+        nb *= mesh.shape[a]
+    ns = mesh.shape.get(seq_axis, 1)
+    if B % max(nb, 1) == 0 and N % ns == 0:
+        x_spec = P(batch_axes or None, seq_axis if seq_sharded else None, None)
+    else:
+        x_spec = P(None, None, None)
+    w_specs = (P(None), P(None), P(None, None), P(None), P(None, None),
+               P(None))
+
+    def body(xs, gs, bs, w1s, b1s, w2s, b2s):
+        flat = xs.reshape(-1, xs.shape[-1])
+        out = fused_ln_mlp_residual(flat, gs, bs, w1s, b1s, w2s, b2s, eps,
+                                    interpret)
+        return out.reshape(xs.shape)
+
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=(x_spec,) + w_specs, out_specs=x_spec,
+        check_vma=False,
+    )(x, gamma, beta, w1, b1, w2, b2)
+
+
 def _pad_rows(x: jnp.ndarray, mult: int = 256):
     """Pad the leading (token) axis of [S, d] to a multiple of ``mult``."""
     S = x.shape[0]

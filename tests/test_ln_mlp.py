@@ -82,6 +82,97 @@ def test_grads_match_unfused():
                                    rtol=1e-3)
 
 
+@pytest.fixture
+def force_interpret(monkeypatch):
+    """CPU tests exercise the fused path via the interpret hook (production
+    off-TPU behavior is a warn-once fallback to the unfused composition)."""
+    from m3vit_tpu.ops import expert_ffn
+
+    monkeypatch.setattr(expert_ffn, "_FORCE_INTERPRET_FOR_TESTS", True)
+
+
+def test_denseblock_ln_mlp_matches_unfused(force_interpret):
+    """DenseBlock.use_pallas_ln_mlp must match the default composition in
+    outputs, grads, AND param-tree structure (checkpoint-compatible)."""
+    from m3vit_tpu.models.vit import DenseBlock
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 12, 16).astype(np.float32))
+    ref_mod = DenseBlock(num_heads=2, dtype=jnp.float32)
+    fus_mod = DenseBlock(num_heads=2, dtype=jnp.float32,
+                         use_pallas_ln_mlp=True)
+
+    v_ref = ref_mod.init(jax.random.key(0), x)
+    v_fus = fus_mod.init(jax.random.key(0), x)
+    assert jax.tree_util.tree_structure(v_ref) == \
+        jax.tree_util.tree_structure(v_fus)
+    for a, b in zip(jax.tree.leaves(v_ref), jax.tree.leaves(v_fus)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    out_ref = ref_mod.apply(v_ref, x)
+    out_fus = fus_mod.apply(v_ref, x)
+    np.testing.assert_allclose(np.asarray(out_fus), np.asarray(out_ref),
+                               atol=2e-5, rtol=1e-5)
+
+    def loss(mod, v, x):
+        return jnp.sum(mod.apply(v, x) ** 2)
+
+    g_ref = jax.grad(lambda v, x: loss(ref_mod, v, x), argnums=(0, 1))(v_ref, x)
+    g_fus = jax.grad(lambda v, x: loss(fus_mod, v, x), argnums=(0, 1))(v_ref, x)
+    for a, b in zip(jax.tree.leaves(g_fus), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3,
+                                   rtol=1e-3)
+
+
+def test_denseblock_ln_mlp_falls_back_under_drop_path(force_interpret):
+    """With drop-path active in train the fused residual cannot apply the
+    stochastic-depth mask — the block must take the unfused composition
+    (same params, same rng draws ⇒ identical outputs)."""
+    from m3vit_tpu.models.vit import DenseBlock
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(4, 12, 16).astype(np.float32))
+    ref_mod = DenseBlock(num_heads=2, dtype=jnp.float32, drop_path_rate=0.5)
+    fus_mod = DenseBlock(num_heads=2, dtype=jnp.float32, drop_path_rate=0.5,
+                         use_pallas_ln_mlp=True)
+    v = ref_mod.init(jax.random.key(0), x)
+    rngs = {"dropout": jax.random.key(7)}
+    out_ref = ref_mod.apply(v, x, True, rngs=rngs)
+    out_fus = fus_mod.apply(v, x, True, rngs=rngs)
+    np.testing.assert_array_equal(np.asarray(out_ref), np.asarray(out_fus))
+
+
+def test_denseblock_ln_mlp_under_multichip_mesh(force_interpret, mesh8):
+    """On a >1-device mesh the fused LN+MLP+residual must run inside
+    shard_map (a top-level pallas_call is unpartitionable under GSPMD)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from m3vit_tpu.models.vit import DenseBlock
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(8, 12, 16).astype(np.float32))
+    ref_mod = DenseBlock(num_heads=2, dtype=jnp.float32)
+    fus_mod = DenseBlock(num_heads=2, dtype=jnp.float32,
+                         use_pallas_ln_mlp=True, mesh=mesh8)
+    v = ref_mod.init(jax.random.key(0), x)
+    xs = jax.device_put(x, NamedSharding(mesh8, P(("data", "expert"))))
+
+    out = jax.jit(fus_mod.apply)(v, xs)
+    ref = ref_mod.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=1e-5)
+
+    def loss(mod, v, x):
+        return jnp.sum(mod.apply(v, x) ** 2)
+
+    g_fus = jax.jit(jax.grad(lambda v: loss(fus_mod, v, xs)))(v)
+    g_ref = jax.grad(lambda v: loss(ref_mod, v, x))(v)
+    for a, b in zip(jax.tree.leaves(g_fus), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3,
+                                   rtol=1e-3)
+
+
 def test_padded_rows_get_zero_grad_contribution():
     """Padding to 256-row multiples must not leak into dx or weight grads:
     compare S=300 against the same rows computed at S=256+44 split."""
