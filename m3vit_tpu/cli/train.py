@@ -169,6 +169,11 @@ def parse_args(argv=None):
                          "running on TPU, off elsewhere")
     ap.add_argument("--no_pallas_dense_ffn", action="store_true",
                     help="disable the fused Pallas MLP in the dense blocks")
+    ap.add_argument("--use_pallas_ln_mlp", action="store_true",
+                    help="fully fuse the dense blocks' LN+MLP+residual "
+                         "sublayer into ONE Pallas kernel (ops/ln_mlp.py); "
+                         "falls back per site when drop-path/dropout are "
+                         "active; default off")
     ap.add_argument("--scan_blocks", action="store_true",
                     help="lax.scan over (dense, MoE) block pairs: one "
                          "compiled pair program instead of depth/2 inlined "
@@ -349,6 +354,8 @@ def run(args) -> Dict:
         overrides["use_pallas_dense_ffn"] = True
     if args.no_pallas_dense_ffn:
         overrides["use_pallas_dense_ffn"] = False
+    if args.use_pallas_ln_mlp:
+        overrides["use_pallas_ln_mlp"] = True
     if args.scan_blocks:
         overrides["scan_blocks"] = True
     if args.stacked_tasks:
