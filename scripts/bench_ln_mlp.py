@@ -58,7 +58,7 @@ def fused_site(x, gamma, beta, w1, b1, w2, b2):
     return fused_ln_mlp_residual(x, gamma, beta, w1, b1, w2, b2, EPS, False)
 
 
-def bench(site_fn, x, params, iters):
+def bench(site_fn, x, params, iters, fwd_only=False):
     gamma, beta, w1, b1, w2, b2 = params
 
     def loss(x):
@@ -71,8 +71,13 @@ def bench(site_fn, x, params, iters):
     def run(x0):
         def body(_, carry):
             x, acc = carry
+            if fwd_only:
+                out = site_fn(x, gamma, beta, w1, b1, w2, b2)
+                # feed the full output back in; keep magnitudes bounded
+                nx = (0.5 * x.astype(jnp.float32)
+                      + 1e-3 * out.astype(jnp.float32)).astype(x.dtype)
+                return nx, acc + jnp.sum(out.astype(jnp.float32))
             dx = grad(x)
-            # feed the full output back in; keep magnitudes bounded
             nx = (x + 1e-6 * dx).astype(x.dtype)
             return nx, acc + jnp.sum(dx.astype(jnp.float32))
 
@@ -118,13 +123,15 @@ def main():
                                 b.astype(jnp.float32))))
     print(f"max |unfused - fused| = {err:.3e}")
 
-    t_unfused = bench(unfused_site, x, params, args.iters)
-    t_fused = bench(fused_site, x, params, args.iters)
-    print(f"unfused LN + MLP kernel + residual : {t_unfused:8.3f} ms/site "
-          f"(fwd+bwd)")
-    print(f"fused ln_mlp kernel                : {t_fused:8.3f} ms/site "
-          f"(fwd+bwd)")
-    print(f"delta: {t_unfused - t_fused:+.3f} ms/site; x{t_unfused / t_fused:.2f}")
+    for fwd_only, tag in ((False, "fwd+bwd"), (True, "fwd-only")):
+        t_unfused = bench(unfused_site, x, params, args.iters, fwd_only)
+        t_fused = bench(fused_site, x, params, args.iters, fwd_only)
+        print(f"[{tag}] unfused LN + MLP kernel + residual : "
+              f"{t_unfused:8.3f} ms/site")
+        print(f"[{tag}] fused ln_mlp kernel                : "
+              f"{t_fused:8.3f} ms/site")
+        print(f"[{tag}] delta: {t_unfused - t_fused:+.3f} ms/site; "
+              f"x{t_unfused / t_fused:.2f}")
 
 
 if __name__ == "__main__":
