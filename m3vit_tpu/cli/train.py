@@ -174,6 +174,9 @@ def parse_args(argv=None):
                          "sublayer into ONE Pallas kernel (ops/ln_mlp.py); "
                          "falls back per site when drop-path/dropout are "
                          "active; default off")
+    ap.add_argument("--no_pallas_ln_mlp", action="store_true",
+                    help="disable the fused LN+MLP+residual kernel (over a "
+                         "YAML use_pallas_ln_mlp: true)")
     ap.add_argument("--scan_blocks", action="store_true",
                     help="lax.scan over (dense, MoE) block pairs: one "
                          "compiled pair program instead of depth/2 inlined "
@@ -354,8 +357,14 @@ def run(args) -> Dict:
         overrides["use_pallas_dense_ffn"] = True
     if args.no_pallas_dense_ffn:
         overrides["use_pallas_dense_ffn"] = False
+    if args.use_pallas_ln_mlp and args.no_pallas_ln_mlp:
+        raise SystemExit(
+            "--use_pallas_ln_mlp and --no_pallas_ln_mlp are "
+            "contradictory; pass at most one")
     if args.use_pallas_ln_mlp:
         overrides["use_pallas_ln_mlp"] = True
+    if args.no_pallas_ln_mlp:
+        overrides["use_pallas_ln_mlp"] = False
     if args.scan_blocks:
         overrides["scan_blocks"] = True
     if args.stacked_tasks:

@@ -68,6 +68,22 @@ def multi_task_loss(
                 out[f"tam_level{level}_{task}"] = l
                 total = total + loss_weights[task] * l
 
+    # papnet_new multi-level deep supervision (level{1,2,3}_<task> from
+    # PAPNetViT multi_level=True).  The reference's MultiTaskLoss divides
+    # EVERY task weight by 4 when multi_level is on (loss_schemes.py:32-35,
+    # 4 supervised outputs per task) but never actually consumes the level
+    # keys — papnet_new is dead code there; this is the reconstructed
+    # intent, gated on the keys' presence so plain models are untouched.
+    lvl_scale = 1.0
+    if f"level1_{tasks[0]}" in pred:
+        lvl_scale = 0.25
+        for level in (1, 2, 3):
+            for task in tasks:
+                l = loss_fns[task](pred[f"level{level}_{task}"], gt[task])
+                l = jnp.nan_to_num(l, nan=0.0)
+                out[f"level{level}_{task}"] = l
+                total = total + lvl_scale * loss_weights[task] * l
+
     for task in tasks:
         l = loss_fns[task](pred[task], gt[task])
         if task == "human_parts":
@@ -75,7 +91,9 @@ def multi_task_loss(
             # target; reference nan_to_nums that loss (loss_schemes.py:108-110)
             l = jnp.nan_to_num(l, nan=0.0)
         out[task] = l
-        total = total + loss_weights[task] * l
+        # lvl_scale: the reference's multi_level weight/4 applies to the
+        # final outputs too (loss_schemes.py:32-35)
+        total = total + lvl_scale * loss_weights[task] * l
 
     out["total"] = total
     return out

@@ -232,7 +232,8 @@ def _build_mtl_method(p, model_name: str, mesh=None):
             return PAPNetViT(backbone=backbone, tasks=tasks,
                              auxilary_tasks=aux, num_outputs=num_outputs,
                              embed_dim=embed, img_size=img_size,
-                             patch_size=patch)
+                             patch_size=patch,
+                             multi_level=bool(p.get("multi_level", False)))
         return JTRL(backbone=backbone, tasks=tasks, auxilary_tasks=aux,
                     num_outputs=num_outputs, embed_dim=embed,
                     img_size=img_size, patch_size=patch,

@@ -527,7 +527,18 @@ def _tokens_to_2d(x, h, w):
 
 
 class PAPNetViT(nn.Module):
-    """PAP-Net over ViT token features (reference PAPNet_vit, papnet.py:149-280)."""
+    """PAP-Net over ViT token features (reference PAPNet_vit, papnet.py:149-280).
+
+    multi_level=True reproduces the papnet_new.py variant
+    (reference mtl_methods/papnet_new.py:168-297): per-level 1x1-conv heads
+    tap the refinement features AFTER each conv+BN and BEFORE its ReLU,
+    emitting train-time ``level{1,2,3}_<task>`` deep-supervision outputs.
+    papnet_new is dead code in the reference (never imported by
+    common_config.py:555-556, and its level outputs feed no loss scheme);
+    we reconstruct the evident intent: level predictions are resized to the
+    input resolution (the reference's raw level maps would shape-mismatch
+    every loss) and consumed by losses.schemes.multi_task_loss with the
+    reference's weight/4 scaling (loss_schemes.py:32-35)."""
 
     backbone: nn.Module
     tasks: Sequence[str]
@@ -536,6 +547,7 @@ class PAPNetViT(nn.Module):
     embed_dim: int = 384
     img_size: Sequence[int] = (512, 512)
     patch_size: int = 16
+    multi_level: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, single_task=None):
@@ -567,11 +579,28 @@ class PAPNetViT(nn.Module):
             name="affinity_diffusion",
         )(initial)
 
+        taps = self.multi_level and train
+
+        def _level_tap(i, task, f):
+            # papnet_new.py:281-297: 1x1 conv on the pre-ReLU conv+BN feature
+            lvl = nn.Conv(self.num_outputs[task], (1, 1),
+                          name=f"output_layers{i}_{task}")(f)
+            out[f"level{i}_{task}"] = resize_bilinear(lvl, img_size)
+
         for task in self.tasks:
             f = agg[f"aggregated_features_{task}"]
-            f = _up2(_ConvBNRelu(256, name=f"layers1_{task}")(f, train))
-            f = _up2(_ConvBNRelu(256, name=f"layers2_{task}")(f, train))
-            f = _ConvBNRelu(256, name=f"layers3_{task}")(f, train)
+            f = _ConvBNRelu(256, relu=False, name=f"layers1_{task}")(f, train)
+            if taps:
+                _level_tap(1, task, f)
+            f = _up2(jax.nn.relu(f))
+            f = _ConvBNRelu(256, relu=False, name=f"layers2_{task}")(f, train)
+            if taps:
+                _level_tap(2, task, f)
+            f = _up2(jax.nn.relu(f))
+            f = _ConvBNRelu(256, relu=False, name=f"layers3_{task}")(f, train)
+            if taps:
+                _level_tap(3, task, f)
+            f = jax.nn.relu(f)
             f = nn.Conv(self.num_outputs[task], (1, 1),
                         name=f"layers4_{task}")(f)
             out[task] = resize_bilinear(_up2(f), img_size)

@@ -312,17 +312,19 @@ def fused_ln_mlp_residual(x, gamma, beta, w1, b1, w2, b2, eps=1e-6,
 def _vjp_fwd(x, gamma, beta, w1, b1, w2, b2, eps, interpret):
     out = _ln_mlp_forward(x, gamma, beta, w1, b1, w2, b2, eps,
                           interpret=interpret)
-    return out, (x, gamma, beta, w1, b1, w2)
+    # b2 itself is not needed by the backward, only its dtype (so every
+    # cotangent is cast to its primal's dtype, ADVICE r3); it's [d]-tiny
+    return out, (x, gamma, beta, w1, b1, w2, b2)
 
 
 def _vjp_bwd(eps, interpret, res, gr):
-    x, gamma, beta, w1, b1, w2 = res
+    x, gamma, beta, w1, b1, w2, b2 = res
     dx, dg, db, dw1, db1, dw2, db2 = _ln_mlp_backward(
         x, gamma, beta, w1, b1, w2, gr.astype(x.dtype), eps,
         interpret=interpret)
     return (dx.astype(x.dtype), dg.astype(gamma.dtype), db.astype(beta.dtype),
             dw1.astype(w1.dtype), db1.astype(b1.dtype), dw2.astype(w2.dtype),
-            db2.astype(jnp.float32))
+            db2.astype(b2.dtype))
 
 
 fused_ln_mlp_residual.defvjp(_vjp_fwd, _vjp_bwd)

@@ -186,6 +186,288 @@ def deit_to_backbone_params(
     return params
 
 
+# ---------------------------------------------------------------------------
+# Reference MoE checkpoint import: single files AND rank-sharded directories
+# ---------------------------------------------------------------------------
+
+# expert-parameter key markers (reference: utils/moe_utils.py:15)
+EXPERT_KEYWORDS = ("mlp.experts.htoh4", "mlp.experts.h4toh")
+
+
+def strip_checkpoint_prefixes(key: str) -> str:
+    """Drop DDP/pretrain wrappers (reference: utils/moe_utils.py:18-23)."""
+    if key.startswith("module."):
+        key = key[len("module."):]
+    if key.startswith("encoder."):
+        key = key[len("encoder."):]
+    return key
+
+
+def _first_expert_dim0(sd: Dict[str, np.ndarray]) -> Optional[int]:
+    for key, item in sd.items():
+        if any(p in strip_checkpoint_prefixes(key) for p in EXPERT_KEYWORDS):
+            return int(item.shape[0])
+    return None
+
+
+def load_reference_checkpoint(path: str, strip_prefixes: bool = True
+                              ) -> Tuple[Dict, Dict[str, np.ndarray]]:
+    """Load a reference checkpoint: a single ``.pth`` file OR a rank-sharded
+    directory of ``{rank}.pth`` files.
+
+    Directory format (reference: utils/moe_utils.py:164-178
+    ``save_moe_model_to_dir``): rank 0 saves the full state dict; every other
+    rank saves only its local slice of the expert tensors
+    (``filter_state``).  Merging follows train_fastmoe.py:525-545: start from
+    ``0.pth`` and ``torch.cat`` each higher rank's expert tensors on dim 0,
+    in rank order, recovering the global ``[E_global, ...]`` expert banks.
+
+    Returns ``(checkpoint, state_dict)`` where checkpoint is the raw
+    unpickled dict (meta/args/epoch preserved, tensors untouched) and
+    state_dict maps (optionally prefix-stripped) names to numpy arrays.
+    """
+    import os as _os
+
+    import torch
+
+    if not _os.path.isdir(path):
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        sd = ckpt
+        if isinstance(ckpt, dict):
+            for key in ("model", "state_dict", "model_state"):
+                if key in ckpt and isinstance(ckpt[key], dict):
+                    sd = ckpt[key]
+                    break
+    else:
+        ranks = sorted(
+            (int(f[:-4]) for f in _os.listdir(path)
+             if f.endswith(".pth") and f[:-4].isdigit())
+        )
+        if not ranks or ranks[0] != 0 or ranks != list(range(len(ranks))):
+            raise FileNotFoundError(
+                f"{path}: expected contiguous 0.pth..N.pth rank shards, "
+                f"found ranks {ranks}"
+            )
+        ckpt = torch.load(_os.path.join(path, "0.pth"), map_location="cpu",
+                          weights_only=False)
+        sd = dict(ckpt["state_dict"])
+        for r in ranks[1:]:
+            shard = torch.load(_os.path.join(path, f"{r}.pth"),
+                               map_location="cpu", weights_only=False)
+            for key, item in shard["state_dict"].items():
+                # shards hold expert tensors only; concat on the expert dim
+                # (train_fastmoe.py:539-541)
+                sd[key] = torch.cat([sd[key], item], dim=0)
+        ckpt = dict(ckpt)
+        ckpt["state_dict"] = sd
+        # the per-rank files are marked 'local'; the merged result is global
+        meta = dict(ckpt.get("meta") or {})
+        meta["expert_format"] = "global"
+        ckpt["meta"] = meta
+
+    out = {}
+    for k, v in sd.items():
+        if strip_prefixes:
+            k = strip_checkpoint_prefixes(k)
+        out[k] = v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+    return ckpt, out
+
+
+def validate_reference_moe_checkpoint(
+    checkpoint: Dict,
+    state_dict: Dict[str, np.ndarray],
+    num_global_experts: int,
+    path: str = "<in-memory>",
+) -> None:
+    """Fail fast when a checkpoint holds rank-local experts only.
+
+    Mirrors the reference's ``validate_single_file_moe_checkpoint_or_raise``
+    (utils/moe_utils.py:34-106) for our always-global import view
+    (``moe_experts`` is GLOBAL here; EP is a sharding, not a count):
+    ``meta.expert_format == 'local'`` is always an error, ``'global'`` must
+    match the expected expert count, and without meta the ckpt ``args``
+    world-size heuristic + the expected-dim check apply.
+    """
+    dim0 = _first_expert_dim0(state_dict)
+    if dim0 is None:
+        return
+    expected = int(num_global_experts)
+
+    meta = checkpoint.get("meta", {}) if isinstance(checkpoint, dict) else {}
+    fmt = meta.get("expert_format") if isinstance(meta, dict) else None
+    if fmt == "global":
+        if dim0 != expected:
+            raise ValueError(
+                "Checkpoint meta says global experts but tensor shape is "
+                f"inconsistent. expected dim0={expected}, got {dim0}. "
+                f"path={path}"
+            )
+        return
+    if fmt == "local":
+        raise ValueError(
+            "Checkpoint meta indicates rank-local experts only. "
+            f"path={path}\nLoad the full rank-shard DIRECTORY instead "
+            "(load_reference_checkpoint merges it), or export a global "
+            "checkpoint first."
+        )
+
+    args = checkpoint.get("args", {}) if isinstance(checkpoint, dict) else {}
+    if isinstance(args, dict):
+        ckpt_world = args.get("world_size")
+        ckpt_global = args.get("moe_experts")
+        if (ckpt_world is not None and ckpt_global is not None
+                and int(ckpt_world) > 1
+                and dim0 * int(ckpt_world) == int(ckpt_global)):
+            raise ValueError(
+                "Checkpoint appears to contain rank-local experts only "
+                f"(expert_dim0={dim0}, ckpt_world_size={ckpt_world}, "
+                f"ckpt_global_experts={ckpt_global}). path={path}\n"
+                "Load the full rank-shard DIRECTORY instead."
+            )
+    if dim0 != expected:
+        raise ValueError(
+            "Cannot verify global expert format for MoE checkpoint. "
+            f"expert_dim0={dim0}, expected_global={expected}, path={path}"
+        )
+
+
+def reference_backbone_sd_to_params(
+    sd: Dict[str, np.ndarray],
+    depth: Optional[int] = None,
+    multi_gate_tasks: int = 0,
+) -> Dict:
+    """Reference ``VisionTransformerMoE`` state dict -> our flax param tree.
+
+    Layout map (dense even blocks, MoE odd blocks — the reference's
+    moe/ckpt/vision_transformer_moe.py:540-620 block alternation):
+    torch Linear ``[out,in]`` -> flax kernel ``[in,out]``; Conv OIHW -> HWIO;
+    LayerNorm weight/bias -> scale/bias; FMoELinear ``[E,out,in]`` ->
+    ``[E,in,out]``; multi-gate ``mlp.gate.{t}.w_gate`` stacked on a leading
+    task axis (our ``w_gate`` is ``[T,d_gate,E]``).
+    """
+    if depth is None:
+        depth = 1 + max(
+            int(k.split(".")[1]) for k in sd if k.startswith("blocks.")
+        )
+    params: Dict = {
+        "pos_embed": sd["pos_embed"],
+        "cls_token": sd["cls_token"],
+        "patch_embed": {"proj": {
+            "kernel": sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0),
+            "bias": sd["patch_embed.proj.bias"],
+        }},
+    }
+    if "gate_task_represent.fc1.weight" in sd:
+        params["gate_task_represent"] = {
+            "fc1": {"kernel": sd["gate_task_represent.fc1.weight"].T,
+                    "bias": sd["gate_task_represent.fc1.bias"]},
+            "fc2": {"kernel": sd["gate_task_represent.fc2.weight"].T,
+                    "bias": sd["gate_task_represent.fc2.bias"]},
+            "norm": {"scale": sd["gate_task_represent.norm.weight"],
+                     "bias": sd["gate_task_represent.norm.bias"]},
+        }
+    for i in range(depth):
+        pre = f"blocks.{i}."
+        blk: Dict = {
+            "norm1": {"scale": sd[pre + "norm1.weight"],
+                      "bias": sd[pre + "norm1.bias"]},
+            "norm2": {"scale": sd[pre + "norm2.weight"],
+                      "bias": sd[pre + "norm2.bias"]},
+            "attn": {
+                "qkv": {"kernel": sd[pre + "attn.qkv.weight"].T,
+                        "bias": sd[pre + "attn.qkv.bias"]},
+                "proj": {"kernel": sd[pre + "attn.proj.weight"].T,
+                         "bias": sd[pre + "attn.proj.bias"]},
+            },
+        }
+        if pre + "mlp.experts.htoh4.weight" in sd:  # MoE block
+            if multi_gate_tasks > 0:
+                w_gate = np.stack([
+                    sd[pre + f"mlp.gate.{t}.w_gate"]
+                    for t in range(multi_gate_tasks)
+                ])
+            else:
+                w_gate = sd[pre + "mlp.gate.w_gate"][None]
+            blk["mlp"] = {
+                "w_gate": w_gate,
+                "experts_w1":
+                    sd[pre + "mlp.experts.htoh4.weight"].transpose(0, 2, 1),
+                "experts_b1": sd[pre + "mlp.experts.htoh4.bias"],
+                "experts_w2":
+                    sd[pre + "mlp.experts.h4toh.weight"].transpose(0, 2, 1),
+                "experts_b2": sd[pre + "mlp.experts.h4toh.bias"],
+            }
+            if pre + "mlp.gate.w_noise" in sd:  # noisy (non-vmoe) gate
+                blk["mlp"]["w_noise"] = sd[pre + "mlp.gate.w_noise"][None]
+            elif multi_gate_tasks > 0 and pre + "mlp.gate.0.w_noise" in sd:
+                blk["mlp"]["w_noise"] = np.stack([
+                    sd[pre + f"mlp.gate.{t}.w_noise"]
+                    for t in range(multi_gate_tasks)
+                ])
+        else:
+            blk["mlp"] = {
+                "fc1": {"kernel": sd[pre + "mlp.fc1.weight"].T,
+                        "bias": sd[pre + "mlp.fc1.bias"]},
+                "fc2": {"kernel": sd[pre + "mlp.fc2.weight"].T,
+                        "bias": sd[pre + "mlp.fc2.bias"]},
+            }
+        params[f"block_{i}"] = blk
+    return params
+
+
+def reference_pup_head_sd_to_params(
+    sd: Dict[str, np.ndarray], prefix: str
+) -> Tuple[Dict, Dict]:
+    """Reference ``VisionTransformerUpHead`` state dict -> our flax
+    (params, batch_stats) (reference: models/heads/vit_up_head.py)."""
+    params: Dict = {"norm": {"scale": sd[prefix + "norm.weight"],
+                             "bias": sd[prefix + "norm.bias"]}}
+    bstats: Dict = {}
+    for i in range(5):
+        k = f"{prefix}conv_{i}.weight"
+        if k not in sd:
+            continue
+        params[f"conv_{i}"] = {
+            "kernel": sd[k].transpose(2, 3, 1, 0),
+            "bias": sd[f"{prefix}conv_{i}.bias"],
+        }
+    for i in range(4):
+        k = f"{prefix}syncbn_fc_{i}.weight"
+        if k not in sd:
+            continue
+        params[f"syncbn_fc_{i}"] = {
+            "scale": sd[k], "bias": sd[f"{prefix}syncbn_fc_{i}.bias"],
+        }
+        bstats[f"syncbn_fc_{i}"] = {
+            "mean": sd[f"{prefix}syncbn_fc_{i}.running_mean"],
+            "var": sd[f"{prefix}syncbn_fc_{i}.running_var"],
+        }
+    return params, bstats
+
+
+def reference_mtl_sd_to_params(
+    sd: Dict[str, np.ndarray],
+    tasks,
+    depth: Optional[int] = None,
+    multi_gate_tasks: int = 0,
+) -> Tuple[Dict, Dict]:
+    """Full reference ``MultiTaskModel`` state dict (``backbone.* +
+    decoders.{task}.*``, models/models.py) -> our (params, batch_stats)
+    trees, ready for ``merge_into`` against a template."""
+    bb = {k[len("backbone."):]: v for k, v in sd.items()
+          if k.startswith("backbone.")}
+    params: Dict = {
+        "backbone": reference_backbone_sd_to_params(bb, depth,
+                                                    multi_gate_tasks)
+    }
+    bstats: Dict = {}
+    for t in tasks:
+        hp, hb = reference_pup_head_sd_to_params(sd, f"decoders.{t}.")
+        params[f"decoders_{t}"] = hp
+        bstats[f"decoders_{t}"] = hb
+    return params, bstats
+
+
 def merge_into(template: Dict, loaded: Dict, path: str = "") -> Tuple[Dict, list]:
     """Recursively overlay `loaded` onto `template` (shape-checked); returns
     (merged, list of missing keys kept from template)."""

@@ -192,3 +192,32 @@ def test_padded_rows_get_zero_grad_contribution():
     for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3,
                                    rtol=1e-3)
+
+
+def test_denseblock_ln_mlp_mesh_indivisible_batch(force_interpret, mesh8):
+    """ADVICE r3: a batch indivisible by the mesh (B=4 on 2x4) takes the
+    replicated-spec shard_map fallback; its gradients must still match the
+    unfused path (shard_map transposition with check_vma=False can psum
+    device-replicated cotangents, scaling grads by mesh size)."""
+    from m3vit_tpu.models.vit import DenseBlock
+
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(4, 12, 16).astype(np.float32))  # 4 % 8 != 0
+    ref_mod = DenseBlock(num_heads=2, dtype=jnp.float32)
+    fus_mod = DenseBlock(num_heads=2, dtype=jnp.float32,
+                         use_pallas_ln_mlp=True, mesh=mesh8)
+    v = ref_mod.init(jax.random.key(0), x)
+
+    out = jax.jit(fus_mod.apply)(v, x)
+    ref = ref_mod.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=1e-5)
+
+    def loss(mod, v, x):
+        return jnp.sum(mod.apply(v, x) ** 2)
+
+    g_fus = jax.jit(jax.grad(lambda v: loss(fus_mod, v, x)))(v)
+    g_ref = jax.grad(lambda v: loss(ref_mod, v, x))(v)
+    for a, b in zip(jax.tree.leaves(g_fus), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3,
+                                   rtol=1e-3)

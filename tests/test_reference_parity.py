@@ -301,64 +301,10 @@ def _load_reference_backbone_module():
 
 def _convert_backbone_sd(sd, depth, multi_gate_tasks=0):
     """Reference ckpt VisionTransformerMoE state dict -> our flax param tree
-    (tiny configs; dense even blocks, MoE odd blocks)."""
-    params = {
-        "pos_embed": sd["pos_embed"],
-        "cls_token": sd["cls_token"],
-        "patch_embed": {"proj": {
-            "kernel": sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0),
-            "bias": sd["patch_embed.proj.bias"],
-        }},
-    }
-    if "gate_task_represent.fc1.weight" in sd:
-        params["gate_task_represent"] = {
-            "fc1": {"kernel": sd["gate_task_represent.fc1.weight"].T,
-                    "bias": sd["gate_task_represent.fc1.bias"]},
-            "fc2": {"kernel": sd["gate_task_represent.fc2.weight"].T,
-                    "bias": sd["gate_task_represent.fc2.bias"]},
-            "norm": {"scale": sd["gate_task_represent.norm.weight"],
-                     "bias": sd["gate_task_represent.norm.bias"]},
-        }
-    for i in range(depth):
-        pre = f"blocks.{i}."
-        blk = {
-            "norm1": {"scale": sd[pre + "norm1.weight"],
-                      "bias": sd[pre + "norm1.bias"]},
-            "norm2": {"scale": sd[pre + "norm2.weight"],
-                      "bias": sd[pre + "norm2.bias"]},
-            "attn": {
-                "qkv": {"kernel": sd[pre + "attn.qkv.weight"].T,
-                        "bias": sd[pre + "attn.qkv.bias"]},
-                "proj": {"kernel": sd[pre + "attn.proj.weight"].T,
-                         "bias": sd[pre + "attn.proj.bias"]},
-            },
-        }
-        if i % 2 == 1:  # MoE block
-            if multi_gate_tasks > 0:
-                w_gate = np.stack([
-                    sd[pre + f"mlp.gate.{t}.w_gate"]
-                    for t in range(multi_gate_tasks)
-                ])
-            else:
-                w_gate = sd[pre + "mlp.gate.w_gate"][None]
-            blk["mlp"] = {
-                "w_gate": w_gate,
-                "experts_w1":
-                    sd[pre + "mlp.experts.htoh4.weight"].transpose(0, 2, 1),
-                "experts_b1": sd[pre + "mlp.experts.htoh4.bias"],
-                "experts_w2":
-                    sd[pre + "mlp.experts.h4toh.weight"].transpose(0, 2, 1),
-                "experts_b2": sd[pre + "mlp.experts.h4toh.bias"],
-            }
-        else:
-            blk["mlp"] = {
-                "fc1": {"kernel": sd[pre + "mlp.fc1.weight"].T,
-                        "bias": sd[pre + "mlp.fc1.bias"]},
-                "fc2": {"kernel": sd[pre + "mlp.fc2.weight"].T,
-                        "bias": sd[pre + "mlp.fc2.bias"]},
-            }
-        params[f"block_{i}"] = blk
-    return params
+    (production converter; promoted to torch_interop in round 4)."""
+    from m3vit_tpu.utils.torch_interop import reference_backbone_sd_to_params
+
+    return reference_backbone_sd_to_params(sd, depth, multi_gate_tasks)
 
 
 def _backbone_parity_case(ref_kwargs, our_kwargs, task_ids=(None,),
@@ -1484,30 +1430,11 @@ def test_tam_module_matches_reference():
 
 
 def _convert_pup_head_sd(sd, prefix):
-    """Reference VisionTransformerUpHead state dict -> our flax params."""
-    params = {"norm": {"scale": sd[prefix + "norm.weight"],
-                       "bias": sd[prefix + "norm.bias"]}}
-    bstats = {}
-    for i in range(5):
-        k = f"{prefix}conv_{i}.weight"
-        if k not in sd:
-            continue
-        params[f"conv_{i}"] = {
-            "kernel": sd[k].transpose(2, 3, 1, 0),
-            "bias": sd[f"{prefix}conv_{i}.bias"],
-        }
-    for i in range(4):
-        k = f"{prefix}syncbn_fc_{i}.weight"
-        if k not in sd:
-            continue
-        params[f"syncbn_fc_{i}"] = {
-            "scale": sd[k], "bias": sd[f"{prefix}syncbn_fc_{i}.bias"],
-        }
-        bstats[f"syncbn_fc_{i}"] = {
-            "mean": sd[f"{prefix}syncbn_fc_{i}.running_mean"],
-            "var": sd[f"{prefix}syncbn_fc_{i}.running_var"],
-        }
-    return params, bstats
+    """Reference VisionTransformerUpHead state dict -> our flax params
+    (production converter; promoted to torch_interop in round 4)."""
+    from m3vit_tpu.utils.torch_interop import reference_pup_head_sd_to_params
+
+    return reference_pup_head_sd_to_params(sd, prefix)
 
 
 def _fabricated_trajectory_batches(n_steps, B, IMG, n_cls, seed=0):
