@@ -123,12 +123,82 @@ def _hlo_hash(lowered) -> str:
     return hashlib.sha256(txt.encode()).hexdigest()[:32]
 
 
+class _SD:
+    """Pickleable (shape, dtype) leaf for the cached state shape tree."""
+
+    def __init__(self, shape, dtype):
+        self.shape = tuple(shape)
+        self.dtype = str(dtype)
+
+
+def _shapes_path(metric: str) -> str:
+    key = hashlib.sha256(metric.encode()).hexdigest()[:16]
+    return f"/root/.jax_cache/m3vit_bench_shapes_{key}.pkl"
+
+
+def _is_sd(x):
+    return isinstance(x, _SD)
+
+
+def _make_state(model, batch, tx, metric, mesh):
+    """TrainState for the bench.  Real flax init traces+compiles+runs the
+    whole forward (~6 min of the warm path, measured r4); the step's
+    TIMING depends only on shapes (static dispatch/attention/GEMMs), so
+    after one real init we cache the state's shape tree and later runs
+    materialize a zero-filled state in one tiny jitted program instead.
+    The measured program is bit-identical either way (same avals)."""
+    import pickle
+
+    from m3vit_tpu.train.state import TrainState, create_train_state
+
+    path = _shapes_path(metric)
+    saved = None
+    try:
+        with open(path, "rb") as f:
+            saved = pickle.load(f)
+    except (OSError, ValueError, EOFError):
+        saved = None
+
+    if saved is not None:
+        log("fast init from cached shape tree")
+
+        def build():
+            zeros = jax.tree.map(
+                lambda sd: jnp.zeros(sd.shape, sd.dtype), saved,
+                is_leaf=_is_sd)
+            return TrainState.create(
+                apply_fn=model.apply, params=zeros["params"], tx=tx,
+                batch_stats=zeros["batch_stats"])
+
+        return jax.jit(build)(), path, False
+
+    log("initializing train state (params on device; shape tree will be "
+        "cached for the next run)")
+    p_rng = jax.random.key(1)
+    state = create_train_state(model, p_rng, batch, tx)
+    return state, path, True
+
+
+def _save_shapes(state, path) -> None:
+    import pickle
+
+    tree = {
+        "params": jax.tree.map(lambda x: _SD(x.shape, x.dtype), state.params),
+        "batch_stats": jax.tree.map(lambda x: _SD(x.shape, x.dtype),
+                                    state.batch_stats),
+    }
+    try:
+        with open(path, "wb") as f:
+            pickle.dump(tree, f)
+    except OSError:
+        pass
+
+
 def build_and_measure(args, scan_tasks_fallback: bool, budget_s: float):
     from __graft_entry__ import build_flagship
     from m3vit_tpu.data.synthetic import synthetic_batch
     from m3vit_tpu.losses.functions import loss_fn_for_task
     from m3vit_tpu.train.optim import build_optimizer
-    from m3vit_tpu.train.state import create_train_state
     from m3vit_tpu.train.step import make_train_step
 
     n_chips = len(jax.devices())
@@ -165,30 +235,6 @@ def build_and_measure(args, scan_tasks_fallback: bool, budget_s: float):
     )
     batch = synthetic_batch(jax.random.key(0), tasks, batch_size, (512, 512))
 
-    p = {
-        "optimizer": "sgd",
-        "optimizer_kwargs": {"lr": 0.002, "momentum": 0.9, "weight_decay": 1e-4},
-        "scheduler": "poly",
-        "epochs": 100,
-    }
-    tx = build_optimizer(p, steps_per_epoch=100)
-    log("initializing train state (params on device)")
-    state = create_train_state(model, jax.random.key(1), batch, tx)
-    if mesh is not None:
-        from m3vit_tpu.parallel.mesh import batch_sharding, shard_train_state
-
-        state = shard_train_state(state, mesh)
-        bsh = batch_sharding(mesh)
-        batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
-
-    loss_fns = {t.name: loss_fn_for_task(t.name, {"edge_w": 0.95}) for t in tasks}
-    weights = {"semseg": 1.0, "human_parts": 2.0, "sal": 5.0, "edge": 50.0,
-               "normals": 10.0}
-    step = make_train_step(model, [t.name for t in tasks], loss_fns, weights,
-                           donate=True)
-
-    rng = jax.random.key(2)
-
     suffix = "" if batch_per_chip == 8 else f"_b{batch_per_chip}"
     if scan_tasks:
         suffix += "_scan_tasks"
@@ -203,6 +249,30 @@ def build_and_measure(args, scan_tasks_fallback: bool, budget_s: float):
     if args.ln_mlp:
         suffix += "_ln_mlp"
     metric = "train_throughput_vit_small_moe_e16k4_5task_512" + suffix
+
+    p = {
+        "optimizer": "sgd",
+        "optimizer_kwargs": {"lr": 0.002, "momentum": 0.9, "weight_decay": 1e-4},
+        "scheduler": "poly",
+        "epochs": 100,
+    }
+    tx = build_optimizer(p, steps_per_epoch=100)
+    state, shapes_path, fresh_init = _make_state(model, batch, tx, metric,
+                                                 mesh)
+    if mesh is not None:
+        from m3vit_tpu.parallel.mesh import batch_sharding, shard_train_state
+
+        state = shard_train_state(state, mesh)
+        bsh = batch_sharding(mesh)
+        batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+
+    loss_fns = {t.name: loss_fn_for_task(t.name, {"edge_w": 0.95}) for t in tasks}
+    weights = {"semseg": 1.0, "human_parts": 2.0, "sal": 5.0, "edge": 50.0,
+               "normals": 10.0}
+    step = make_train_step(model, [t.name for t in tasks], loss_fns, weights,
+                           donate=True)
+
+    rng = jax.random.key(2)
 
     log("tracing/lowering the train step")
     lowered = step.lower(state, batch, rng)
@@ -286,6 +356,8 @@ def build_and_measure(args, scan_tasks_fallback: bool, budget_s: float):
     record = mk_record(dt / n_steps, n_steps)
     _PROGRESS["record"] = record
     _write_sentinel(metric, hlo_hash)
+    if fresh_init:
+        _save_shapes(state, shapes_path)
     return record
 
 

@@ -573,7 +573,8 @@ def run(args) -> Dict:
     use_share_temp = is_token and share_pred_temperature(p, 0) is not None
     train_step = make_train_step(model, tasks, loss_fns, loss_weights,
                                  cv_weight=cv_w,
-                                 pass_share_temp=use_share_temp)
+                                 pass_share_temp=use_share_temp,
+                                 analysis_metrics=True)
     # sem-guided knobs run only during warmup epochs with semseg labels fed
     # to the backbone (reference train_utils.py:424-426); a second compiled
     # step carries the extra input + regu losses (use_sem computed above)
@@ -583,6 +584,7 @@ def run(args) -> Dict:
             model, tasks, loss_fns, loss_weights, cv_weight=cv_w,
             pass_sem=True, semregu_weight=float(args.semregu_loss_weight),
             subimage_weight=float(args.subimageregu_weight),
+            analysis_metrics=True,
         )
     obo_grad_fns = obo_apply = None
     if args.one_by_one:
@@ -678,9 +680,20 @@ def run(args) -> Dict:
     except ValueError:
         pass  # not in the main thread (library embedding)
 
+    from m3vit_tpu.train.optim import build_schedule
+
+    lr_schedule = build_schedule(p, steps_per_epoch)
+
     for epoch in range(start_epoch, epochs):
         t_epoch = time.time()
         seen = 0
+        # reference per-epoch logging surface: epoch counter, adjusted lr
+        # (wandb_logger.py:302-323) + device/host memory (TPU-first)
+        logger.log_epoch(epoch)
+        logger.log_learning_rate(
+            float(lr_schedule(epoch * steps_per_epoch)),
+            epoch * steps_per_epoch)
+        logger.log_memory(epoch * steps_per_epoch)
         batches = train_loader.epoch(epoch)
         it0 = skip_iters if epoch == start_epoch else 0
         if it0:
@@ -735,7 +748,8 @@ def run(args) -> Dict:
                 t_win = time.time()
                 step = epoch * steps_per_epoch + it
                 logger.log_train_losses(
-                    {k: float(v) for k, v in metrics.items()}
+                    {k: (v.tolist() if getattr(v, "ndim", 0) else float(v))
+                     for k, v in metrics.items()}
                     | {"throughput_images_per_sec": ips}, epoch, step)
                 print(f"[epoch {epoch} it {it+1}/{steps_per_epoch}] "
                       f"loss={loss:.4f} ips={ips:.1f}")

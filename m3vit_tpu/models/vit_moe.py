@@ -593,6 +593,26 @@ class MoEBlock(nn.Module):
             "gate_token_count": jnp.asarray(tk.shape[0], jnp.float32),
             "expert_load_hist": load_hist,
         }
+        # High-frequency gate-internals dump, env-gated exactly like the
+        # reference (M3VIT_LOG_GATE_INTERNALS, ckpt/noisy_gate_vmoe.py
+        # :209-244): full-distribution entropy, pmax, and the mean count of
+        # distinct expert GROUPS hit by the top-k (group_size=4 there).
+        # Static python env check — no recompile unless the env changes.
+        import os as _os
+
+        if str(_os.environ.get("M3VIT_LOG_GATE_INTERNALS", "0")).lower() in (
+                "1", "true", "yes", "on"):
+            p_full = jax.lax.stop_gradient(
+                jax.nn.softmax(gate.noisy_logits.astype(jnp.float32), -1))
+            p_full = jnp.clip(p_full, 1e-9)
+            group_size = 4 if self.moe_experts % 4 == 0 else 1
+            gids = jnp.sort(
+                jax.lax.stop_gradient(gate.top_k_indices) // group_size, -1)
+            distinct = (gids[:, 1:] != gids[:, :-1]).sum(-1) + 1
+            stats["gate_full_entropy_sum"] = -(p_full * jnp.log(p_full)
+                                               ).sum(-1).sum()
+            stats["gate_pmax_sum"] = p_full.max(-1).sum()
+            stats["topk_group_count_sum"] = distinct.astype(jnp.float32).sum()
         # `regu` carries the EXACT dropped_slot_fraction (per-shard overflow
         # of the final routing ids vs the dispatch capacity) + moe_stat_count
         # for normalizing after the block/task tree-sum; see MoEMlp.

@@ -29,6 +29,7 @@ def make_train_step(
     semregu_weight: float = 0.01,
     subimage_weight: float = 0.01,
     pass_share_temp: bool = False,
+    analysis_metrics: bool = False,
 ):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -92,6 +93,30 @@ def make_train_step(
             # --moe_drop_warn_threshold
             metrics["moe_dropped_frac"] = stats["dropped_slot_fraction"] / \
                 jnp.maximum(stats["moe_stat_count"], 1.0)
+        # MoE analysis aggregates for the reference's analysis/* logging
+        # namespace (utils/wandb_logger.py:371-399): entropy/top1 means,
+        # per-expert load histogram + derived dead-expert ratio and load cv.
+        # Off by default: extra outputs change the compiled program, and the
+        # benchmark path must stay byte-identical for the compile cache.
+        if analysis_metrics and "gate_token_count" in stats:
+            n_tok = jnp.maximum(stats["gate_token_count"], 1.0)
+            metrics["gate_entropy_mean"] = stats["gate_entropy_sum"] / n_tok
+            metrics["top1_prob_mean"] = stats["top1_prob_sum"] / n_tok
+            hist = stats["expert_load_hist"]
+            metrics["expert_load_hist"] = hist
+            metrics["dead_expert_ratio"] = (hist <= 0).mean().astype(
+                jnp.float32)
+            mean_l = jnp.maximum(hist.mean(), 1e-9)
+            metrics["expert_load_cv"] = hist.std() / mean_l
+        # env-gated high-frequency gate internals
+        # (M3VIT_LOG_GATE_INTERNALS, reference noisy_gate_vmoe.py:209-244)
+        if analysis_metrics and "gate_full_entropy_sum" in stats:
+            n_tok = jnp.maximum(stats["gate_token_count"], 1.0)
+            metrics["gate_full_entropy_mean"] = \
+                stats["gate_full_entropy_sum"] / n_tok
+            metrics["gate_pmax_mean"] = stats["gate_pmax_sum"] / n_tok
+            metrics["topk_group_count_mean"] = \
+                stats["topk_group_count_sum"] / n_tok
         return state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())

@@ -255,3 +255,38 @@ def test_one_by_one_matches_joint_gradients():
     # apply_fn advances the state
     state2 = apply_fn(state, acc, {})
     assert int(state2.step) == 1
+
+
+def test_analysis_metrics_and_gate_internals(monkeypatch):
+    """analysis_metrics=True adds the reference's analysis namespace
+    aggregates to the step metrics, and M3VIT_LOG_GATE_INTERNALS adds the
+    full-distribution gate internals (reference noisy_gate_vmoe.py:209-244);
+    the default step's metric tree is UNCHANGED (compile-cache safety)."""
+    monkeypatch.setenv("M3VIT_LOG_GATE_INTERNALS", "1")
+    model = build_tiny_model()
+    batch = synthetic_batch(jax.random.key(0), TASKS, 2, (IMG, IMG))
+    tx = build_optimizer(make_p(), steps_per_epoch=4)
+    state = create_train_state(model, jax.random.key(1), batch, tx)
+
+    step = make_train_step(model, [t.name for t in TASKS], LOSS_FNS, WEIGHTS,
+                           donate=False, analysis_metrics=True)
+    _, m = step(state, batch, jax.random.key(2))
+    E = 8
+    assert m["expert_load_hist"].shape == (E,)
+    for k in ("gate_entropy_mean", "top1_prob_mean", "dead_expert_ratio",
+              "expert_load_cv", "gate_full_entropy_mean", "gate_pmax_mean",
+              "topk_group_count_mean"):
+        assert np.isfinite(float(m[k])), k
+    # full-softmax entropy >= sparse top-k entropy; pmax in (0, 1];
+    # distinct groups within [1, K]
+    assert float(m["gate_full_entropy_mean"]) >= \
+        float(m["gate_entropy_mean"]) - 1e-6
+    assert 0.0 < float(m["gate_pmax_mean"]) <= 1.0
+    assert 1.0 <= float(m["topk_group_count_mean"]) <= 2.0
+
+    # default step: no analysis keys (bench program stays byte-identical)
+    monkeypatch.delenv("M3VIT_LOG_GATE_INTERNALS")
+    step_plain = make_train_step(model, [t.name for t in TASKS], LOSS_FNS,
+                                 WEIGHTS, donate=False)
+    _, mp = step_plain(state, batch, jax.random.key(2))
+    assert "gate_entropy_mean" not in mp and "expert_load_hist" not in mp
