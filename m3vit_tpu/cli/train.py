@@ -208,6 +208,12 @@ def parse_args(argv=None):
     ap.add_argument("--pretrained", default=None,
                     help="backbone params msgpack (pretrain export) or "
                          "reference DeiT .pth to warm-start from")
+    ap.add_argument("--ref_ckpt", default=None,
+                    help="reference-format MTL checkpoint to import before "
+                         "training/eval: a single .pth file OR a rank-"
+                         "sharded {rank}.pth DIRECTORY (merged like "
+                         "reference train_fastmoe.py:525-556; expert_format "
+                         "validated)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--ckp", default=None,
                     help="explicit checkpoint dir for --eval/--resume "
@@ -515,6 +521,33 @@ def run(args) -> Dict:
             )
         )
         print(f"loaded pretrained backbone from {args.pretrained}")
+
+    if args.ref_ckpt:
+        # reference checkpoint interop: single file or rank-sharded
+        # directory (train_fastmoe.py:525-556), full MTL tree
+        from m3vit_tpu.utils.torch_interop import (
+            load_reference_checkpoint,
+            merge_into,
+            reference_mtl_sd_to_params,
+            validate_reference_moe_checkpoint,
+        )
+
+        ckpt, sd = load_reference_checkpoint(args.ref_ckpt)
+        validate_reference_moe_checkpoint(
+            ckpt, sd, int(p.get("moe_experts", 16)), args.ref_ckpt)
+        kw = p.get("backbone_kwargs") or {}
+        mg_tasks = len(tasks) if p.get("multi_gate") else 0
+        loaded, bstats = reference_mtl_sd_to_params(
+            sd, tasks, depth=int(kw.get("depth", 12)),
+            multi_gate_tasks=mg_tasks)
+        merged, missing = merge_into(state.params, loaded)
+        new_bs = state.batch_stats
+        if bstats and state.batch_stats:
+            new_bs, _ = merge_into(state.batch_stats, bstats)
+        state = state.replace(params=merged, batch_stats=new_bs)
+        print(f"imported reference checkpoint {args.ref_ckpt} "
+              f"(epoch={ckpt.get('epoch')}, "
+              f"missing={len(missing)}{': ' + str(missing[:3]) if missing else ''})")
 
     start_epoch = 0
     skip_iters = 0

@@ -468,6 +468,150 @@ def reference_mtl_sd_to_params(
     return params, bstats
 
 
+def params_to_reference_sd(
+    params: Dict,
+    batch_stats: Optional[Dict] = None,
+    tasks=(),
+    multi_gate_tasks: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Inverse of ``reference_mtl_sd_to_params``: our flax (params,
+    batch_stats) trees -> a reference-format ``MultiTaskModel`` state dict
+    (``backbone.* + decoders.{task}.*``, torch layouts/names).
+
+    Round-trips exactly with the forward converters (tested); lets our
+    checkpoints be exported back into the reference's format and powers the
+    fabricated-checkpoint smoke drill (scripts/fabricate_ref_ckpt.py)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def put(key, v):
+        sd[key] = np.asarray(v)
+
+    bb = params.get("backbone", params)
+    put("backbone.pos_embed", bb["pos_embed"])
+    put("backbone.cls_token", bb["cls_token"])
+    put("backbone.patch_embed.proj.weight",
+        np.asarray(bb["patch_embed"]["proj"]["kernel"]).transpose(3, 2, 0, 1))
+    put("backbone.patch_embed.proj.bias", bb["patch_embed"]["proj"]["bias"])
+    if "gate_task_represent" in bb:
+        g = bb["gate_task_represent"]
+        put("backbone.gate_task_represent.fc1.weight",
+            np.asarray(g["fc1"]["kernel"]).T)
+        put("backbone.gate_task_represent.fc1.bias", g["fc1"]["bias"])
+        put("backbone.gate_task_represent.fc2.weight",
+            np.asarray(g["fc2"]["kernel"]).T)
+        put("backbone.gate_task_represent.fc2.bias", g["fc2"]["bias"])
+        put("backbone.gate_task_represent.norm.weight", g["norm"]["scale"])
+        put("backbone.gate_task_represent.norm.bias", g["norm"]["bias"])
+
+    depth = 1 + max(
+        (int(k.split("_")[1]) for k in bb if k.startswith("block_")),
+        default=-1,
+    )
+    for i in range(depth):
+        blk = bb[f"block_{i}"]
+        pre = f"backbone.blocks.{i}."
+        put(pre + "norm1.weight", blk["norm1"]["scale"])
+        put(pre + "norm1.bias", blk["norm1"]["bias"])
+        put(pre + "norm2.weight", blk["norm2"]["scale"])
+        put(pre + "norm2.bias", blk["norm2"]["bias"])
+        put(pre + "attn.qkv.weight", np.asarray(blk["attn"]["qkv"]["kernel"]).T)
+        put(pre + "attn.qkv.bias", blk["attn"]["qkv"]["bias"])
+        put(pre + "attn.proj.weight",
+            np.asarray(blk["attn"]["proj"]["kernel"]).T)
+        put(pre + "attn.proj.bias", blk["attn"]["proj"]["bias"])
+        mlp = blk["mlp"]
+        if "experts_w1" in mlp:  # MoE block
+            w_gate = np.asarray(mlp["w_gate"])
+            if multi_gate_tasks > 0:
+                for t in range(multi_gate_tasks):
+                    put(pre + f"mlp.gate.{t}.w_gate", w_gate[t])
+            else:
+                put(pre + "mlp.gate.w_gate", w_gate[0])
+            if "w_noise" in mlp:
+                w_noise = np.asarray(mlp["w_noise"])
+                if multi_gate_tasks > 0:
+                    for t in range(multi_gate_tasks):
+                        put(pre + f"mlp.gate.{t}.w_noise", w_noise[t])
+                else:
+                    put(pre + "mlp.gate.w_noise", w_noise[0])
+            put(pre + "mlp.experts.htoh4.weight",
+                np.asarray(mlp["experts_w1"]).transpose(0, 2, 1))
+            put(pre + "mlp.experts.htoh4.bias", mlp["experts_b1"])
+            put(pre + "mlp.experts.h4toh.weight",
+                np.asarray(mlp["experts_w2"]).transpose(0, 2, 1))
+            put(pre + "mlp.experts.h4toh.bias", mlp["experts_b2"])
+        else:
+            put(pre + "mlp.fc1.weight", np.asarray(mlp["fc1"]["kernel"]).T)
+            put(pre + "mlp.fc1.bias", mlp["fc1"]["bias"])
+            put(pre + "mlp.fc2.weight", np.asarray(mlp["fc2"]["kernel"]).T)
+            put(pre + "mlp.fc2.bias", mlp["fc2"]["bias"])
+
+    for t in tasks:
+        hp = params.get(f"decoders_{t}")
+        if hp is None:
+            continue
+        pre = f"decoders.{t}."
+        put(pre + "norm.weight", hp["norm"]["scale"])
+        put(pre + "norm.bias", hp["norm"]["bias"])
+        for i in range(5):
+            if f"conv_{i}" not in hp:
+                continue
+            put(pre + f"conv_{i}.weight",
+                np.asarray(hp[f"conv_{i}"]["kernel"]).transpose(3, 2, 0, 1))
+            put(pre + f"conv_{i}.bias", hp[f"conv_{i}"]["bias"])
+        hb = (batch_stats or {}).get(f"decoders_{t}", {})
+        for i in range(4):
+            if f"syncbn_fc_{i}" not in hp:
+                continue
+            put(pre + f"syncbn_fc_{i}.weight", hp[f"syncbn_fc_{i}"]["scale"])
+            put(pre + f"syncbn_fc_{i}.bias", hp[f"syncbn_fc_{i}"]["bias"])
+            bs = hb.get(f"syncbn_fc_{i}", {})
+            put(pre + f"syncbn_fc_{i}.running_mean",
+                bs.get("mean", np.zeros_like(hp[f"syncbn_fc_{i}"]["scale"])))
+            put(pre + f"syncbn_fc_{i}.running_var",
+                bs.get("var", np.ones_like(hp[f"syncbn_fc_{i}"]["scale"])))
+    return sd
+
+
+def save_reference_sharded_checkpoint(
+    sd: Dict[str, np.ndarray],
+    dirname: str,
+    num_ranks: int,
+    extra: Optional[Dict] = None,
+) -> None:
+    """Write a reference-format rank-sharded checkpoint DIRECTORY:
+    ``0.pth`` holds the full state dict with rank-0's expert slices, ranks
+    >0 hold their expert slices only (reference utils/moe_utils.py:128-178
+    ``save_moe_model_to_dir``/``filter_state``/``read_specific_group_experts``
+    semantics, without needing torch.distributed)."""
+    import os as _os
+
+    import torch
+
+    _os.makedirs(dirname, exist_ok=True)
+    expert_keys = [k for k in sd
+                   if any(p in strip_checkpoint_prefixes(k)
+                          for p in EXPERT_KEYWORDS)]
+    e_global = int(sd[expert_keys[0]].shape[0]) if expert_keys else 0
+    assert not expert_keys or e_global % num_ranks == 0, (
+        f"{e_global} experts not divisible into {num_ranks} ranks"
+    )
+    e_local = e_global // num_ranks if expert_keys else 0
+    for rank in range(num_ranks):
+        lo, hi = rank * e_local, (rank + 1) * e_local
+        if rank == 0:
+            shard = {k: (v[lo:hi] if k in expert_keys else v)
+                     for k, v in sd.items()}
+        else:
+            shard = {k: sd[k][lo:hi] for k in expert_keys}
+        state = dict(extra or {})
+        state["state_dict"] = {k: torch.as_tensor(np.ascontiguousarray(v))
+                               for k, v in shard.items()}
+        state.setdefault("meta", {})
+        state["meta"] = dict(state["meta"], expert_format="local")
+        torch.save(state, _os.path.join(dirname, f"{rank}.pth"))
+
+
 def merge_into(template: Dict, loaded: Dict, path: str = "") -> Tuple[Dict, list]:
     """Recursively overlay `loaded` onto `template` (shape-checked); returns
     (merged, list of missing keys kept from template)."""

@@ -182,3 +182,57 @@ def test_single_file_checkpoint_still_loads(tmp_path):
     ckpt, sd = load_reference_checkpoint(path)
     assert ckpt["epoch"] == 7
     np.testing.assert_array_equal(sd["pos_embed"], np.arange(6.0))
+
+
+def test_params_to_reference_sd_roundtrip():
+    """The inverse converter (our params -> reference state dict) must
+    round-trip bitwise through the forward converters, including multi-gate
+    stacking, expert transposes, conv OIHW, and BN running stats."""
+    from m3vit_tpu.models.heads import VisionTransformerUpHead
+    from m3vit_tpu.models.multitask import MultiTaskModel
+    from m3vit_tpu.models.vit_moe import VisionTransformerMoE
+    from m3vit_tpu.utils.torch_interop import (
+        params_to_reference_sd,
+        reference_mtl_sd_to_params,
+    )
+
+    TASKS = ["semseg", "sal"]
+    T = len(TASKS)
+    backbone = VisionTransformerMoE(
+        img_size=(IMG, IMG), patch_size=16, embed_dim=D, depth=DEPTH,
+        num_heads=HEADS, mlp_ratio=4.0, qkv_bias=True, moe_mlp_ratio=1.0,
+        moe_experts=E, moe_top_k=K, capacity_factor=8.0,
+        eval_capacity_factor=8.0, dtype=jnp.float32,
+        multi_gate=True, num_tasks=T,
+    )
+    decoders = {
+        t: VisionTransformerUpHead(img_size=(IMG, IMG), patch_size=16,
+                                   embed_dim=D, num_classes=c,
+                                   dtype=jnp.float32)
+        for t, c in zip(TASKS, (21, 1))
+    }
+    model = MultiTaskModel(backbone=backbone, decoders=decoders, tasks=TASKS,
+                           multi_gate=True)
+    x = np.zeros((1, IMG, IMG, 3), np.float32)
+    v = model.init(
+        {"params": jax.random.key(3), "gate_noise": jax.random.key(4)},
+        jnp.asarray(x), train=True,
+    )
+    sd = params_to_reference_sd(v["params"], v.get("batch_stats"), TASKS,
+                                multi_gate_tasks=T)
+    back_p, back_bs = reference_mtl_sd_to_params(sd, TASKS, DEPTH,
+                                                 multi_gate_tasks=T)
+
+    def assert_tree_equal(a, b, path=""):
+        if isinstance(a, dict):
+            assert set(a) == set(b), (path, set(a) ^ set(b))
+            for k in a:
+                assert_tree_equal(a[k], b[k], f"{path}/{k}")
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=path)
+
+    assert_tree_equal(v["params"], back_p)
+    for t in TASKS:
+        assert_tree_equal(v["batch_stats"][f"decoders_{t}"],
+                          back_bs[f"decoders_{t}"], t)
