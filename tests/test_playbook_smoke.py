@@ -38,5 +38,6 @@ def test_run_when_mounted_smoke():
     tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-40:])
     assert proc.returncode == 0, f"smoke drill failed:\n{tail}"
     assert "SMOKE PASSED" in proc.stdout, tail
+    assert "stage 0 (reference interop) PASSED" in proc.stdout, tail
     assert "stage 1 (overfit-64) PASSED" in proc.stdout, tail
     assert "stage 2 (anchors) DONE" in proc.stdout, tail
