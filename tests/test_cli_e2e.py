@@ -138,7 +138,7 @@ def test_cli_trains_with_seq_axis(pascal_root, tmp_path):
 
     out_dir = tmp_path / "runs" / "PASCALContext" / "tiny"
     recs = [json.loads(l) for l in open(out_dir / "metrics.jsonl")]
-    losses = [r["train/loss_total"] for r in recs if "train/loss_total" in r]
+    losses = [r["train/total_loss"] for r in recs if "train/total_loss" in r]
     assert losses and all(np.isfinite(l) for l in losses)
     val = [r for r in recs if "val/semseg/mIoU" in r]
     assert val and np.isfinite(val[-1]["val/semseg/mIoU"])

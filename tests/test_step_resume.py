@@ -33,14 +33,14 @@ def _args(save_dir, extra=()):
 
 
 def _losses(save_dir):
-    """metrics.jsonl -> {global_step: train/loss_total} (last record wins)."""
+    """metrics.jsonl -> {global_step: train/total_loss} (last record wins)."""
     path = os.path.join(save_dir, "PASCALContext", "vit_tiny_test",
                         "metrics.jsonl")
     out = {}
     for line in open(path):
         r = json.loads(line)
-        if "train/loss_total" in r:
-            out[r["_step"]] = r["train/loss_total"]
+        if "train/total_loss" in r:
+            out[r["_step"]] = r["train/total_loss"]
     return out
 
 
@@ -148,7 +148,7 @@ def test_sigterm_preemption_saves_and_resumes(tmp_path):
         # wait until at least one train step has logged, then preempt
         while time.time() < deadline:
             if os.path.isfile(jsonl) and any(
-                    "train/loss_total" in l for l in open(jsonl)):
+                    "train/total_loss" in l for l in open(jsonl)):
                 break
             if proc.poll() is not None:
                 pytest.fail(f"trainer died early:\n{proc.stdout.read()}")
