@@ -236,3 +236,110 @@ def test_params_to_reference_sd_roundtrip():
     for t in TASKS:
         assert_tree_equal(v["batch_stats"][f"decoders_{t}"],
                           back_bs[f"decoders_{t}"], t)
+
+
+def test_export_reference_ckpt_cli(tmp_path):
+    """scripts/export_reference_ckpt.py: our Orbax checkpoint -> reference
+    .pth (global) AND {rank}.pth dir.  The global file must strict-load into
+    the ACTUAL reference backbone (every key matched) and reproduce our
+    model's forward; the sharded dir must re-import bitwise."""
+    import yaml
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import export_reference_ckpt
+
+    from m3vit_tpu.config import create_config
+    from m3vit_tpu.data.synthetic import synthetic_batch
+    from m3vit_tpu.models.factory import build_model
+    from m3vit_tpu.train.optim import build_optimizer
+    from m3vit_tpu.train.state import create_train_state
+    from m3vit_tpu.utils.checkpoint import save_checkpoint
+    from m3vit_tpu.utils.torch_interop import (
+        load_reference_checkpoint,
+        reference_mtl_sd_to_params,
+    )
+
+    exp = {
+        "setup": "multi_task",
+        "train_db_name": "PASCALContext",
+        "val_db_name": "PASCALContext",
+        "train_scale": [IMG, IMG], "test_scale": [IMG, IMG],
+        "trBatch": 1, "valBatch": 1, "epochs": 1,
+        "optimizer": "sgd", "optimizer_kwargs": {"lr": 0.01},
+        "scheduler": "poly",
+        "model": "baseline",
+        "backbone": "VisionTransformer_moe",
+        "backbone_kwargs": {
+            "model_name": "tiny_export", "img_size": [IMG, IMG],
+            "patch_size": 16, "embed_dim": D, "depth": DEPTH,
+            "num_heads": HEADS, "moe_mlp_ratio": 1, "mlp_ratio": 4,
+        },
+        "head": "VisionTransformerUpHead",
+        "head_kwargs": {"embed_dim": D, "img_size": [IMG, IMG],
+                        "patch_size": 16},
+        "moe_experts": E, "moe_top_k": K, "multi_gate": False,
+        "compute_dtype": "float32", "moe_capacity_factor": 8.0,
+        "task_dictionary": {"include_semseg": True, "include_edge": True,
+                            "edge_w": 0.95},
+        "loss_kwargs": {"loss_weights": {"semseg": 1.0, "edge": 50.0}},
+    }
+    exp_file = tmp_path / "exp.yml"
+    exp_file.write_text(yaml.safe_dump(exp))
+
+    # build + save a state through the production path
+    p = create_config(None, str(exp_file), make_dirs=False)
+    model = build_model(p, mesh=None)
+    batch = synthetic_batch(jax.random.key(0), p["TASKS"], 1, (IMG, IMG))
+    tx = build_optimizer(p, steps_per_epoch=1)
+    state = create_train_state(model, jax.random.key(7), batch, tx)
+    ckp_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckp_dir, state, 0, {"epoch": 0})
+
+    # ---- single global file ----
+    out_pth = str(tmp_path / "mtl_global.pth")
+    export_reference_ckpt.main([
+        "--config_exp", str(exp_file), "--ckp", ckp_dir, "--out", out_pth,
+    ])
+    ckpt = torch.load(out_pth, map_location="cpu", weights_only=False)
+    assert ckpt["meta"]["expert_format"] == "global"
+
+    # strict-load the backbone into the ACTUAL reference model
+    vtm = _load_reference_backbone_module()
+    ref = vtm.VisionTransformerMoE(
+        model_name="tiny_export", img_size=IMG, patch_size=16, embed_dim=D,
+        depth=DEPTH, num_heads=HEADS, mlp_ratio=4.0, qkv_bias=True,
+        drop_rate=0.0, moe_mlp_ratio=1, moe_experts=E, moe_top_k=K,
+        world_size=1, moe_gate_type="noisy_vmoe", vmoe_noisy_std=1.0,
+        random_init=True, use_checkpointing=False,
+    )
+    bb_sd = {k[len("backbone."):]: v
+             for k, v in ckpt["state_dict"].items()
+             if k.startswith("backbone.")}
+    missing, unexpected = ref.load_state_dict(bb_sd, strict=False)
+    assert not unexpected, f"keys the reference does not know: {unexpected}"
+    assert not missing, f"reference keys we did not export: {missing}"
+    ref.eval()
+    x = np.random.RandomState(3).randn(2, IMG, IMG, 3).astype(np.float32)
+    with torch.no_grad():
+        ref_out, _ = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ours_bb = model.backbone
+    out, _, _ = ours_bb.apply(
+        {"params": state.params["backbone"]}, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), atol=5e-5)
+
+    # ---- 2-rank sharded dir: bitwise re-import ----
+    out_dir = str(tmp_path / "mtl_sharded.pth.tar")
+    export_reference_ckpt.main([
+        "--config_exp", str(exp_file), "--ckp", ckp_dir, "--out", out_dir,
+        "--ranks", "2",
+    ])
+    _, merged = load_reference_checkpoint(out_dir)
+    tasks = [t.name for t in p["TASKS"]]
+    back_p, back_bs = reference_mtl_sd_to_params(merged, tasks, DEPTH)
+    flat_a = jax.tree_util.tree_leaves_with_path(state.params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back_p))
+    for path, v in flat_a:
+        np.testing.assert_array_equal(np.asarray(v, np.float32),
+                                      np.asarray(flat_b[path], np.float32),
+                                      err_msg=str(path))
