@@ -468,6 +468,83 @@ def reference_mtl_sd_to_params(
     return params, bstats
 
 
+def reference_token_sd_to_params(
+    sd: Dict[str, np.ndarray],
+    depth: Optional[int] = None,
+    multi_gate_tasks: int = 0,
+) -> Dict:
+    """Reference ``TokenVisionTransformerMoE`` (the token persistent-sharing
+    generation, models/moe/token/vision_transformer_moe.py) state dict ->
+    our ``TokenVisionTransformerMoE`` param tree: per-block shareability
+    heads (``share_pred.w_gate``), per-task gates, expert banks held
+    directly on the block, and the shared dense FFN."""
+    if depth is None:
+        depth = 1 + max(
+            int(k.split(".")[1]) for k in sd if k.startswith("blocks.")
+        )
+    params: Dict = {
+        "pos_embed": sd["pos_embed"],
+        "cls_token": sd["cls_token"],
+        "patch_embed": {"proj": {
+            "kernel": sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0),
+            "bias": sd["patch_embed.proj.bias"],
+        }},
+    }
+    if "gate_task_represent.fc1.weight" in sd:
+        params["gate_task_represent"] = {
+            "fc1": {"kernel": sd["gate_task_represent.fc1.weight"].T,
+                    "bias": sd["gate_task_represent.fc1.bias"]},
+            "fc2": {"kernel": sd["gate_task_represent.fc2.weight"].T,
+                    "bias": sd["gate_task_represent.fc2.bias"]},
+            "norm": {"scale": sd["gate_task_represent.norm.weight"],
+                     "bias": sd["gate_task_represent.norm.bias"]},
+        }
+    for i in range(depth):
+        pre = f"blocks.{i}."
+        blk: Dict = {
+            "norm1": {"scale": sd[pre + "norm1.weight"],
+                      "bias": sd[pre + "norm1.bias"]},
+            "norm2": {"scale": sd[pre + "norm2.weight"],
+                      "bias": sd[pre + "norm2.bias"]},
+            "attn": {
+                "qkv": {"kernel": sd[pre + "attn.qkv.weight"].T,
+                        "bias": sd[pre + "attn.qkv.bias"]},
+                "proj": {"kernel": sd[pre + "attn.proj.weight"].T,
+                         "bias": sd[pre + "attn.proj.bias"]},
+            },
+        }
+        if pre + "share_pred.w_gate" in sd:
+            blk["share_pred"] = {"w_gate": sd[pre + "share_pred.w_gate"]}
+        if pre + "mlp.experts.htoh4.weight" in sd:  # MoE block
+            if multi_gate_tasks > 0:
+                blk["w_gate"] = np.stack([
+                    sd[pre + f"gate.{t}.w_gate"]
+                    for t in range(multi_gate_tasks)
+                ])
+            else:
+                blk["w_gate"] = sd[pre + "gate.w_gate"][None]
+            blk["experts_w1"] = \
+                sd[pre + "mlp.experts.htoh4.weight"].transpose(0, 2, 1)
+            blk["experts_b1"] = sd[pre + "mlp.experts.htoh4.bias"]
+            blk["experts_w2"] = \
+                sd[pre + "mlp.experts.h4toh.weight"].transpose(0, 2, 1)
+            blk["experts_b2"] = sd[pre + "mlp.experts.h4toh.bias"]
+            if pre + "shared_ffn.fc1.weight" in sd:
+                blk["shared_ffn_fc1"] = sd[pre + "shared_ffn.fc1.weight"].T
+                blk["shared_ffn_b1"] = sd[pre + "shared_ffn.fc1.bias"]
+                blk["shared_ffn_fc2"] = sd[pre + "shared_ffn.fc2.weight"].T
+                blk["shared_ffn_b2"] = sd[pre + "shared_ffn.fc2.bias"]
+        else:
+            blk["mlp"] = {
+                "fc1": {"kernel": sd[pre + "mlp.fc1.weight"].T,
+                        "bias": sd[pre + "mlp.fc1.bias"]},
+                "fc2": {"kernel": sd[pre + "mlp.fc2.weight"].T,
+                        "bias": sd[pre + "mlp.fc2.bias"]},
+            }
+        params[f"block_{i}"] = blk
+    return params
+
+
 def params_to_reference_sd(
     params: Dict,
     batch_stats: Optional[Dict] = None,

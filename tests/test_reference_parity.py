@@ -456,60 +456,11 @@ def test_token_backbone_matches_reference():
         ref.eval()
         sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
 
-        params = {
-            "pos_embed": sd["pos_embed"],
-            "cls_token": sd["cls_token"],
-            "patch_embed": {"proj": {
-                "kernel":
-                    sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0),
-                "bias": sd["patch_embed.proj.bias"],
-            }},
-            "gate_task_represent": {
-                "fc1": {"kernel": sd["gate_task_represent.fc1.weight"].T,
-                        "bias": sd["gate_task_represent.fc1.bias"]},
-                "fc2": {"kernel": sd["gate_task_represent.fc2.weight"].T,
-                        "bias": sd["gate_task_represent.fc2.bias"]},
-                "norm": {"scale": sd["gate_task_represent.norm.weight"],
-                         "bias": sd["gate_task_represent.norm.bias"]},
-            },
-        }
-        for i in range(depth):
-            pre = f"blocks.{i}."
-            blk = {
-                "norm1": {"scale": sd[pre + "norm1.weight"],
-                          "bias": sd[pre + "norm1.bias"]},
-                "norm2": {"scale": sd[pre + "norm2.weight"],
-                          "bias": sd[pre + "norm2.bias"]},
-                "attn": {
-                    "qkv": {"kernel": sd[pre + "attn.qkv.weight"].T,
-                            "bias": sd[pre + "attn.qkv.bias"]},
-                    "proj": {"kernel": sd[pre + "attn.proj.weight"].T,
-                             "bias": sd[pre + "attn.proj.bias"]},
-                },
-                "share_pred": {"w_gate": sd[pre + "share_pred.w_gate"]},
-            }
-            if i % 2 == 1:  # MoE block
-                blk["w_gate"] = np.stack(
-                    [sd[pre + f"gate.{t}.w_gate"] for t in range(T)]
-                )
-                blk["experts_w1"] = \
-                    sd[pre + "mlp.experts.htoh4.weight"].transpose(0, 2, 1)
-                blk["experts_b1"] = sd[pre + "mlp.experts.htoh4.bias"]
-                blk["experts_w2"] = \
-                    sd[pre + "mlp.experts.h4toh.weight"].transpose(0, 2, 1)
-                blk["experts_b2"] = sd[pre + "mlp.experts.h4toh.bias"]
-                blk["shared_ffn_fc1"] = sd[pre + "shared_ffn.fc1.weight"].T
-                blk["shared_ffn_b1"] = sd[pre + "shared_ffn.fc1.bias"]
-                blk["shared_ffn_fc2"] = sd[pre + "shared_ffn.fc2.weight"].T
-                blk["shared_ffn_b2"] = sd[pre + "shared_ffn.fc2.bias"]
-            else:
-                blk["mlp"] = {
-                    "fc1": {"kernel": sd[pre + "mlp.fc1.weight"].T,
-                            "bias": sd[pre + "mlp.fc1.bias"]},
-                    "fc2": {"kernel": sd[pre + "mlp.fc2.weight"].T,
-                            "bias": sd[pre + "mlp.fc2.bias"]},
-                }
-            params[f"block_{i}"] = blk
+        from m3vit_tpu.utils.torch_interop import (
+            reference_token_sd_to_params,
+        )
+
+        params = reference_token_sd_to_params(sd, depth, multi_gate_tasks=T)
 
         from m3vit_tpu.models.token_moe import TokenVisionTransformerMoE
         from m3vit_tpu.utils.torch_interop import merge_into
