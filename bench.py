@@ -160,7 +160,9 @@ def _make_state(model, batch, tx, layout_key, mesh):
     TIMING depends only on shapes (static dispatch/attention/GEMMs), so
     after one real init we cache the state's shape tree and later runs
     materialize a zero-filled state in one tiny jitted program instead.
-    The measured program is bit-identical either way (same avals)."""
+    Same avals/computation either way; the lowered text can differ in
+    input layouts/ordering (the sentinel keeps a hash LIST for this, and
+    XLA's persistent-cache key is robust to it — measured r4)."""
     import pickle
 
     from m3vit_tpu.train.state import TrainState, create_train_state
