@@ -172,7 +172,7 @@ def _make_state(model, batch, tx, layout_key, mesh):
     try:
         with open(path, "rb") as f:
             saved = pickle.load(f)
-    except (OSError, ValueError, EOFError):
+    except Exception:  # missing/corrupt/format-mismatch -> treat as cold
         saved = None
 
     if saved is not None:
