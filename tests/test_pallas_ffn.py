@@ -180,3 +180,33 @@ def test_mlpblock_use_pallas_fallbacks(force_interpret):
     v = mod.init(jax.random.key(0), x)
     out = mod.apply(v, x, True, rngs={"dropout": jax.random.key(1)})
     assert out.shape == x.shape
+
+
+def test_mlpblock_fused_mesh_indivisible_batch(force_interpret, mesh8):
+    """ADVICE r3: B=4 on the 2x4 mesh takes fused_dense_mlp's
+    replicated-spec shard_map fallback (batch not divisible by the mesh);
+    its gradients must match the Dense path — shard_map transposition with
+    check_vma=False could otherwise psum device-replicated cotangents
+    (same guard as tests/test_ln_mlp.py's indivisible case)."""
+    from m3vit_tpu.models.vit import MlpBlock
+
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(4, 12, 16).astype(np.float32))  # 4 % 8 != 0
+    ref_mod = MlpBlock(hidden_dim=32, dtype=jnp.float32)
+    fus_mod = MlpBlock(hidden_dim=32, dtype=jnp.float32, use_pallas=True,
+                       mesh=mesh8)
+    v = ref_mod.init(jax.random.key(0), x)
+
+    out = jax.jit(fus_mod.apply)(v, x)
+    ref = ref_mod.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=1e-5)
+
+    def loss(mod, v, x):
+        return jnp.sum(mod.apply(v, x) ** 2)
+
+    g_fus = jax.jit(jax.grad(lambda v: loss(fus_mod, v, x)))(v)
+    g_ref = jax.grad(lambda v: loss(ref_mod, v, x))(v)
+    for a, b in zip(jax.tree.leaves(g_fus), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3,
+                                   rtol=1e-3)
