@@ -40,6 +40,17 @@ import sys
 import threading
 import time
 
+# Pin the Python hash seed BEFORE jax loads: str-hash randomization leaks
+# into the Pallas/Mosaic kernel serialization (set/dict ordering), making
+# the lowered program differ BYTE-WISE between processes (measured r4:
+# fh_a vs fh_b dumps diverge inside tpu_custom_call backend_config;
+# identical under PYTHONHASHSEED=0).  Without this the HLO-hash sentinel
+# flutters and every run pays a fresh (partially server-cached) compile.
+if (__name__ == "__main__"
+        and os.environ.get("PYTHONHASHSEED") != "0"):
+    os.environ["PYTHONHASHSEED"] = "0"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
 T0 = time.time()
 
 import jax
@@ -135,11 +146,26 @@ def _hlo_hash(lowered) -> str:
 
 
 class _SD:
-    """Pickleable (shape, dtype) leaf for the cached state shape tree."""
+    """(shape, dtype) leaf for the cached state shape tree.  Persisted as a
+    plain ('__sd__', shape, dtype) tuple so the pickle has no dependency on
+    this module's import name (a class-based leaf written by one loader
+    namespace is unreadable from another — bitten r4)."""
 
     def __init__(self, shape, dtype):
         self.shape = tuple(shape)
         self.dtype = str(dtype)
+
+
+def _sd_to_tuple(sd: "_SD"):
+    return ("__sd__", list(sd.shape), sd.dtype)
+
+
+def _sd_from_obj(x):
+    if isinstance(x, _SD):
+        return x
+    if isinstance(x, (tuple, list)) and len(x) == 3 and x[0] == "__sd__":
+        return _SD(x[1], x[2])
+    raise ValueError(f"not a shape leaf: {x!r}")
 
 
 def _shapes_path(layout_key: str) -> str:
@@ -178,10 +204,15 @@ def _make_state(model, batch, tx, layout_key, mesh):
     if saved is not None:
         log("fast init from cached shape tree")
 
+        def _leaf(x):
+            return _is_sd(x) or (isinstance(x, (tuple, list)) and x
+                                 and x[0] == "__sd__")
+
         def build():
             zeros = jax.tree.map(
-                lambda sd: jnp.zeros(sd.shape, sd.dtype), saved,
-                is_leaf=_is_sd)
+                lambda x: (lambda sd: jnp.zeros(sd.shape, sd.dtype))(
+                    _sd_from_obj(x)),
+                saved, is_leaf=_leaf)
             return TrainState.create(
                 apply_fn=model.apply, params=zeros["params"], tx=tx,
                 batch_stats=zeros["batch_stats"])
@@ -202,10 +233,12 @@ def _make_state(model, batch, tx, layout_key, mesh):
 def _save_shapes(state, path) -> None:
     import pickle
 
+    def leaf(x):
+        return _sd_to_tuple(_SD(x.shape, x.dtype))
+
     tree = {
-        "params": jax.tree.map(lambda x: _SD(x.shape, x.dtype), state.params),
-        "batch_stats": jax.tree.map(lambda x: _SD(x.shape, x.dtype),
-                                    state.batch_stats),
+        "params": jax.tree.map(leaf, state.params),
+        "batch_stats": jax.tree.map(leaf, state.batch_stats),
     }
     try:
         with open(path, "wb") as f:

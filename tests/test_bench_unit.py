@@ -67,10 +67,17 @@ def test_shape_tree_pickle_roundtrip(bench, tmp_path):
     bench._save_shapes(S, path)
     with open(path, "rb") as f:
         saved = pickle.load(f)
-    sd = saved["params"]["w"]
-    assert bench._is_sd(sd) and sd.shape == (3, 4) and sd.dtype == "bfloat16"
+    # persisted as module-independent plain tuples
+    raw = saved["params"]["w"]
+    assert raw[0] == "__sd__"
+    sd = bench._sd_from_obj(raw)
+    assert sd.shape == (3, 4) and sd.dtype == "bfloat16"
     z = jnp.zeros(sd.shape, sd.dtype)
     assert z.shape == (3, 4) and str(z.dtype) == "bfloat16"
+    # legacy class-form leaves still convert
+    assert bench._sd_from_obj(bench._SD((2,), "float32")).shape == (2,)
+    with pytest.raises(ValueError):
+        bench._sd_from_obj("junk")
 
 
 def test_layout_key_shared_across_variants(bench):
