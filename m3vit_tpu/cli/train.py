@@ -549,6 +549,13 @@ def run(args) -> Dict:
               f"(epoch={ckpt.get('epoch')}, "
               f"missing={len(missing)}{': ' + str(missing[:3]) if missing else ''})")
 
+    if mesh is not None and (args.pretrained or args.ref_ckpt):
+        # --pretrained/--ref_ckpt merged host numpy arrays into a state that
+        # shard_train_state had already placed; re-apply the explicit
+        # shardings so global expert banks don't enter jit host-staged
+        # and unsharded on a multi-chip mesh.
+        state = shard_train_state(state, mesh)
+
     start_epoch = 0
     skip_iters = 0
     step_ckpt_dir = os.path.join(p["output_dir"], "step_checkpoint")

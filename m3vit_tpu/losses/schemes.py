@@ -50,13 +50,18 @@ def multi_task_loss(
     out: Dict[str, jnp.ndarray] = {}
     total = jnp.asarray(0.0, jnp.float32)
 
+    # papnet_new multi-level weight/4: the reference divides EVERY task
+    # weight by 4 at init when multi_level is on (loss_schemes.py:32-35),
+    # so the scale applies to every term below — tam branches included.
+    lvl_scale = 0.25 if f"level1_{tasks[0]}" in pred else 1.0
+
     # plain tam_<task> branch (reference: loss_schemes.py:44-61, JTRL path)
     if f"tam_{tasks[0]}" in pred:
         for task in tasks:
             l = loss_fns[task](pred[f"tam_{task}"], gt[task])
             l = jnp.nan_to_num(l, nan=0.0)
             out[f"tam_{task}"] = l
-            total = total + loss_weights[task] * l
+            total = total + lvl_scale * loss_weights[task] * l
 
     # TAM deep-supervision branches (reference: loss_schemes.py:63-93)
     for level in (0, 1, 2):
@@ -66,17 +71,14 @@ def multi_task_loss(
                 l = loss_fns[task](pred[f"tam_level{level}_{task}"], gt[task])
                 l = jnp.nan_to_num(l, nan=0.0)
                 out[f"tam_level{level}_{task}"] = l
-                total = total + loss_weights[task] * l
+                total = total + lvl_scale * loss_weights[task] * l
 
     # papnet_new multi-level deep supervision (level{1,2,3}_<task> from
-    # PAPNetViT multi_level=True).  The reference's MultiTaskLoss divides
-    # EVERY task weight by 4 when multi_level is on (loss_schemes.py:32-35,
-    # 4 supervised outputs per task) but never actually consumes the level
-    # keys — papnet_new is dead code there; this is the reconstructed
-    # intent, gated on the keys' presence so plain models are untouched.
-    lvl_scale = 1.0
+    # PAPNetViT multi_level=True).  The reference's MultiTaskLoss never
+    # actually consumes the level keys — papnet_new is dead code there;
+    # this is the reconstructed intent, gated on the keys' presence so
+    # plain models are untouched.
     if f"level1_{tasks[0]}" in pred:
-        lvl_scale = 0.25
         for level in (1, 2, 3):
             for task in tasks:
                 l = loss_fns[task](pred[f"level{level}_{task}"], gt[task])

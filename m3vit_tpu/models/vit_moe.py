@@ -606,6 +606,18 @@ class MoEBlock(nn.Module):
                 jax.nn.softmax(gate.noisy_logits.astype(jnp.float32), -1))
             p_full = jnp.clip(p_full, 1e-9)
             group_size = 4 if self.moe_experts % 4 == 0 else 1
+            if group_size == 1:
+                # the reference asserts num_experts % 4 == 0
+                # (noisy_gate_vmoe.py:213); with group_size=1 the
+                # topk_group_count metric is NOT comparable to its logs
+                import warnings
+
+                warnings.warn(
+                    f"M3VIT_LOG_GATE_INTERNALS: moe_experts="
+                    f"{self.moe_experts} not divisible by 4; falling back "
+                    "to group_size=1 — topk_group_count is not comparable "
+                    "to reference logs (which assert divisibility)",
+                    stacklevel=2)
             gids = jnp.sort(
                 jax.lax.stop_gradient(gate.top_k_indices) // group_size, -1)
             distinct = (gids[:, 1:] != gids[:, :-1]).sum(-1) + 1
