@@ -13,7 +13,10 @@ throughput.  The reference publishes no throughput logs (BASELINE.md); we
 anchor on an estimated 8 img/s/chip for A100+fastmoe on this exact workload
 (5 backbone passes/step; the reference trained with trBatch 4 on 2 GPUs,
 run_exps.sh) -> target = 24 img/s/chip.  vs_baseline >= 1.0 meets the target.
-The measured anchor is the "mfu" field (XLA cost analysis / v5e peak).
+The estimate's full arithmetic (measured 2.69 TFLOP/image x assumed ~7%
+reference MFU on a 312 TFLOP/s A100) and its sensitivity table live in
+BASELINE.md "The vs_baseline anchor's arithmetic".  The measured anchor is
+the "mfu" field (XLA cost analysis / v5e peak).
 
 Time-to-JSON is bounded (round-3 post-mortem: the driver's run hit its
 timeout while the flagship program was still compiling, rc=124, no JSON):
@@ -335,6 +338,29 @@ def build_and_measure(args, scan_tasks_fallback: bool, budget_s: float):
     log(f"lowered; hlo_hash={hlo_hash} sentinel_warm={warm} "
         f"budget_left={budget_s - elapsed:.0f}s")
 
+    if getattr(args, "dump_hlo", None):
+        with open(args.dump_hlo, "w") as f:
+            f.write(lowered.as_text())
+        log(f"wrote lowered program to {args.dump_hlo}")
+
+    if getattr(args, "check_only", False):
+        # warm-cache guard (round-4 VERDICT weak #3): a changed default
+        # program without a deliberate re-warm would make the next driver
+        # bench fall back to scan_tasks or a watchdog partial.  This mode
+        # stops after hashing — no compile, no TPU step — and fails LOUDLY
+        # when the default program is not sentinel-warm.
+        rec = {"metric": "bench_warm_check", "warm": warm,
+               "hlo_hash": hlo_hash, "bench_metric": metric}
+        print(json.dumps(rec), flush=True)
+        if not warm:
+            log("COLD: the default bench program is not sentinel-warm. "
+                "Re-warm it BEFORE relying on the default budget:\n"
+                "    python bench.py --budget_s 7200 --no_fallback\n"
+                "(one ~35-min cold compile; afterwards the persistent "
+                "cache + sentinel make the driver bench ~2-4 min)")
+            sys.exit(3)
+        sys.exit(0)
+
     if (not warm and not scan_tasks_fallback and not args.no_fallback
             and budget_s - elapsed < 1800):
         # A cold flagship compile (~35 min on the axon relay) will not fit.
@@ -434,6 +460,13 @@ def main():
                     help="A/B: per-task passes recompute the task-"
                          "independent prefix (patch embed + block_0) "
                          "instead of sharing one prefix pass")
+    ap.add_argument("--dump_hlo", default=None, metavar="PATH",
+                    help="write the lowered StableHLO text to PATH (use "
+                         "with --check_only to diff program changes)")
+    ap.add_argument("--check_only", action="store_true",
+                    help="warm-cache guard: trace+hash the default program "
+                         "and exit 0 if sentinel-warm, 3 if a re-warm is "
+                         "needed (prints the recipe); no compile, no step")
     ap.add_argument("--no_fallback", action="store_true",
                     help="disable the cold-compile scan_tasks fallback and "
                          "the watchdog (for deliberate cache-warming runs)")

@@ -261,6 +261,12 @@ def parse_args(argv=None):
                          "the reference's sync-and-inspect debugging, "
                          "SURVEY.md §5)")
     ap.add_argument("--log_interval", type=int, default=25)
+    ap.add_argument("--loader_mode", default="auto",
+                    choices=["auto", "processes", "threads"],
+                    help="host data-loader backend: fork-pool processes "
+                         "(default; the reference's multi-process "
+                         "DataLoader equivalent) or the GIL-capped thread "
+                         "pool (scripts/bench_loader.py has the numbers)")
     ap.add_argument("--platform", default=None,
                     choices=[None, "cpu", "tpu"],
                     help="force the jax backend (jax.config.update — the "
@@ -472,15 +478,22 @@ def run(args) -> Dict:
                 )
                 return self.t(self.ds[i], rng)
 
+        nworkers = int(p.get("nworkers", 8))
+        # 'auto' = fork-pool processes (the reference's multi-process
+        # DataLoader equivalent; thread pools cap at ~2.5x from GIL-held
+        # label/collate work — scripts/bench_loader.py)
+        use_procs = args.loader_mode in ("auto", "processes")
         train_loader = EpochLoader(
             _TDS(get_dataset(p, "train", None, overfit=p["overfit"]), tr,
                  args.seed),
             batch_size=batch_size, shuffle=True, seed=args.seed,
+            num_workers=nworkers, use_processes=use_procs,
         )
         val_loader = EpochLoader(
             _TDS(get_dataset(p, "val", None, overfit=p["overfit"]), ts,
                  args.seed),
             batch_size=val_batch, shuffle=False, drop_last=False,
+            num_workers=nworkers, use_processes=use_procs,
         )
 
     steps_per_epoch = max(len(train_loader), 1)

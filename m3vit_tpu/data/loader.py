@@ -11,6 +11,7 @@ sharded over the mesh by jax.device_put, so no per-rank sampling is needed.
 from __future__ import annotations
 
 import collections
+import itertools
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -77,9 +78,89 @@ def collate(samples) -> Dict:
     return out
 
 
+# --- process-pool worker state (fork-inherited; see EpochLoader) ---------
+_MP_DATASET = None
+
+
+def _mp_init(dataset):
+    global _MP_DATASET
+    _MP_DATASET = dataset
+
+
+def _mp_fetch_collate(indices):
+    return collate([_MP_DATASET[int(i)] for i in indices])
+
+
+def _mp_fetch_collate_shm(indices):
+    """Collate in the worker, hand the arrays back through POSIX shared
+    memory instead of the pool's pickle pipe.  An 84 MB flagship batch costs
+    the consumer ~33 ms of pipe-read+unpickle (caps one consumer thread at
+    ~240 img/s, under the ~260 img/s a v5e-8 flagship run ingests); the shm
+    path is one worker-side memcpy in + one consumer-side memcpy out
+    (~13 ms, measured in scripts/bench_loader.py)."""
+    from multiprocessing import shared_memory
+
+    batch = collate([_MP_DATASET[int(i)] for i in indices])
+    arrays = {k: v for k, v in batch.items() if k != "meta"}
+    total = sum(v.nbytes for v in arrays.values())
+    shm = shared_memory.SharedMemory(create=True, size=max(total, 1))
+    layout = []
+    off = 0
+    for k, v in arrays.items():
+        np.ndarray(v.shape, v.dtype, buffer=shm.buf, offset=off)[...] = v
+        layout.append((k, v.shape, str(v.dtype), off))
+        off += v.nbytes
+    # the consumer owns the segment's lifetime (it unlinks after copying
+    # out); stop this process's resource_tracker from double-unlinking it
+    try:
+        from multiprocessing import resource_tracker
+
+        resource_tracker.unregister(shm._name, "shared_memory")
+    except Exception:
+        pass
+    shm.close()
+    return ("__shm__", shm.name, layout, batch.get("meta"))
+
+
+def _shm_to_batch(msg) -> Dict:
+    """Copy a worker's shm batch out and release the segment."""
+    from multiprocessing import shared_memory
+
+    _, name, layout, meta = msg
+    shm = shared_memory.SharedMemory(name=name)
+    try:
+        out: Dict = {
+            k: np.array(np.ndarray(shape, dtype, buffer=shm.buf, offset=off))
+            for k, shape, dtype, off in layout
+        }
+    finally:
+        shm.close()
+        shm.unlink()
+    if meta is not None:
+        out["meta"] = meta
+    return out
+
+
 class EpochLoader:
-    """Epoch-seeded shuffling loader with a thread pool for the cv2-heavy
-    transform work and a background prefetch queue."""
+    """Epoch-seeded shuffling loader for the cv2-heavy transform work.
+
+    Two parallel backends:
+      * ``use_processes=False`` — thread pool + background prefetch queue.
+        cv2/PIL release the GIL for the big ops but the numpy label
+        encode/collate path does not, capping thread scaling (measured
+        ~40% GIL-held on the PASCAL 512^2 train chain; scripts/bench_loader.py).
+      * ``use_processes=True`` — a fork-based ``multiprocessing.Pool``;
+        each worker builds and collates one WHOLE batch (batch-level tasks
+        amortize IPC) with a bounded in-flight window of
+        ``num_workers + prefetch`` batches.  This is the TPU equivalent of
+        the reference's multi-process ``DataLoader(num_workers=...)``
+        (reference: utils/common_config.py:673,715).  Requires a
+        fork-capable platform; falls back to threads otherwise.
+
+    Batch order and per-sample augmentation rng are identical across
+    backends (ordering is deterministic in (seed, epoch); the CLI's
+    dataset wrapper derives the augmentation rng from the sample index).
+    """
 
     def __init__(
         self,
@@ -90,6 +171,8 @@ class EpochLoader:
         seed: int = 0,
         num_workers: int = 8,
         prefetch: int = 2,
+        use_processes: bool = False,
+        use_shm: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -98,6 +181,13 @@ class EpochLoader:
         self.seed = seed
         self.num_workers = num_workers
         self.prefetch = prefetch
+        if use_processes:
+            import multiprocessing
+
+            if "fork" not in multiprocessing.get_all_start_methods():
+                use_processes = False
+        self.use_processes = use_processes
+        self.use_shm = use_shm
 
     def __len__(self):
         n = len(self.dataset)
@@ -105,11 +195,56 @@ class EpochLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def epoch(self, epoch: int) -> Iterator[Dict]:
-        n = len(self.dataset)
-        order = np.arange(n)
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.RandomState(self.seed + epoch).shuffle(order)
+        return order
+
+    def _epoch_processes(self, epoch: int) -> Iterator[Dict]:
+        """Fork-pool epoch: batch-granular tasks, bounded in-flight window,
+        deterministic batch order (results consumed in submission order)."""
+        import multiprocessing
+
+        n = len(self.dataset)
+        order = self._epoch_order(epoch)
+        nb = len(self)
+        idx_lists = [
+            [int(j) for j in order[b * self.batch_size:
+                                   min((b + 1) * self.batch_size, n)]]
+            for b in range(nb)
+        ]
+        ctx = multiprocessing.get_context("fork")
+        # NOTE: fork inherits the dataset by memory — initargs are not
+        # pickled under the fork start method, so closure-defined dataset
+        # wrappers (cli/train.py _TDS) work.  Workers never touch jax.
+        pool = ctx.Pool(self.num_workers, initializer=_mp_init,
+                        initargs=(self.dataset,))
+        fetch = _mp_fetch_collate_shm if self.use_shm else _mp_fetch_collate
+        try:
+            inflight: "collections.deque" = collections.deque()
+            it = iter(idx_lists)
+            for idx in list(itertools.islice(
+                    it, self.num_workers + self.prefetch)):
+                inflight.append(pool.apply_async(fetch, (idx,)))
+            while inflight:
+                batch = inflight.popleft().get()
+                if self.use_shm:
+                    batch = _shm_to_batch(batch)
+                nxt = next(it, None)
+                if nxt is not None:
+                    inflight.append(pool.apply_async(fetch, (nxt,)))
+                yield batch
+        finally:
+            pool.terminate()
+            pool.join()
+
+    def epoch(self, epoch: int) -> Iterator[Dict]:
+        if self.use_processes:
+            yield from self._epoch_processes(epoch)
+            return
+        n = len(self.dataset)
+        order = self._epoch_order(epoch)
         nb = len(self)
 
         def fetch(i):

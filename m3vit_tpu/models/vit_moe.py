@@ -197,6 +197,7 @@ class MoEMlp(nn.Module):
     patch_grid: Tuple[int, int] = (0, 0)  # true (h, w) grid for regu_subimage
     gate_type: str = "noisy_vmoe"  # 'noisy_vmoe' | 'noisy' (gates.py:195-280)
     use_pallas_ffn: bool = False  # fused expert-FFN kernel (ops/expert_ffn.py)
+    a2a_chunks: int = 1  # pipeline the EP exchange (dispatch.py n_chunks)
     # weight-only int8 expert banks (serving: halves expert HBM/artifact
     # bytes; inference-only — serve/quantize.py converts a float checkpoint)
     expert_weights_int8: bool = False
@@ -404,6 +405,7 @@ class MoEMlp(nn.Module):
             dropout_rate=self.drop,
             dropout_rng=drop_rng,
             ffn_fn=ffn_fn,
+            a2a_chunks=self.a2a_chunks,
         )
 
         # exact dropped-slot accounting for the static-capacity deviation
@@ -495,6 +497,7 @@ class MoEBlock(nn.Module):
     patch_grid: Tuple[int, int] = (0, 0)
     gate_type: str = "noisy_vmoe"
     use_pallas_ffn: bool = False
+    a2a_chunks: int = 1
     expert_weights_int8: bool = False
     # stacked multi-gate: task_id is a per-SAMPLE [B] vector (task-major
     # equal groups of cv_segments tasks); cv loss is computed per segment and
@@ -563,6 +566,7 @@ class MoEBlock(nn.Module):
             patch_grid=self.patch_grid,
             gate_type=self.gate_type,
             use_pallas_ffn=self.use_pallas_ffn,
+            a2a_chunks=self.a2a_chunks,
             expert_weights_int8=self.expert_weights_int8,
             name="mlp",
         )(h.astype(self.dtype), task_id, task_feature, train,
@@ -670,6 +674,7 @@ class _BlockPair(nn.Module):
     patch_grid: Tuple[int, int]
     gate_type: str
     use_pallas_ffn: bool
+    a2a_chunks: int
     use_pallas_dense_ffn: bool
     use_pallas_ln_mlp: bool
     expert_weights_int8: bool
@@ -716,6 +721,7 @@ class _BlockPair(nn.Module):
             regu_sem=self.regu_sem, regu_subimage=self.regu_subimage,
             patch_grid=self.patch_grid, gate_type=self.gate_type,
             use_pallas_ffn=self.use_pallas_ffn,
+            a2a_chunks=self.a2a_chunks,
             expert_weights_int8=self.expert_weights_int8,
             cv_segments=self.cv_segments,
             name="moe",
@@ -769,6 +775,9 @@ class VisionTransformerMoE(nn.Module):
     regu_subimage: bool = False
     moe_gate_type: str = "noisy_vmoe"
     use_pallas_ffn: bool = False
+    # pipeline the EP all_to_all exchange over groups of local experts
+    # (moe/dispatch.py n_chunks); 1 = the monolithic fastmoe-style exchange
+    a2a_chunks: int = 1
     # fused Pallas kernel for the DENSE blocks' MLPs too (vit.MlpBlock
     # use_pallas: hidden activation stays in VMEM, remat-style backward)
     use_pallas_dense_ffn: bool = False
@@ -960,6 +969,7 @@ class VisionTransformerMoE(nn.Module):
                             self.img_size[1] // self.patch_size),
                 gate_type=self.moe_gate_type,
                 use_pallas_ffn=self.use_pallas_ffn,
+                a2a_chunks=self.a2a_chunks,
                 use_pallas_dense_ffn=self.use_pallas_dense_ffn,
                 use_pallas_ln_mlp=self.use_pallas_ln_mlp,
                 expert_weights_int8=self.expert_weights_int8,
@@ -1010,6 +1020,7 @@ class VisionTransformerMoE(nn.Module):
                                 self.img_size[1] // self.patch_size),
                     gate_type=self.moe_gate_type,
                     use_pallas_ffn=self.use_pallas_ffn,
+                    a2a_chunks=self.a2a_chunks,
                     expert_weights_int8=self.expert_weights_int8,
                     cv_segments=n_stack,
                     name=f"block_{i}",

@@ -428,6 +428,7 @@ def moe_ffn_expert_parallel(
     ffn_fn: Optional[Callable] = None,
     num_streams: int = 1,
     stream_ids: Optional[jnp.ndarray] = None,  # [T_local]
+    n_chunks: int = 1,
 ) -> jnp.ndarray:
     """Expert-parallel MoE FFN body. MUST run inside shard_map with
     `expert_axis` bound; implements the fastmoe exchange with
@@ -435,7 +436,15 @@ def moe_ffn_expert_parallel(
 
     `capacity` is per (source shard, stream, expert); virtual-expert slots
     are expert-major so the exchange reshapes are the num_streams == 1 ones
-    with capacity -> num_streams * capacity."""
+    with capacity -> num_streams * capacity.
+
+    `n_chunks > 1` splits the exchange over groups of LOCAL experts: chunk
+    i's all_to_all is data-independent of chunk i-1's expert GEMM, so
+    XLA's async-collective scheduler can run a2a(i) on ICI while GEMM(i-1)
+    occupies the MXU (the reference's NCCL a2a pair is fully synchronous).
+    Exact same rows/weights per expert => numerics identical to n_chunks=1
+    at dropout 0 (per-chunk dropout rngs are folded separately).
+    Requires E_local % n_chunks == 0; falls back to the largest divisor."""
     T, d = x.shape
     K = top_k_indices.shape[-1]
     ep = jax.lax.axis_size(expert_axis)
@@ -454,30 +463,75 @@ def moe_ffn_expert_parallel(
     src_tok = plan.src_flat // K
     send = _dispatch_gather(x, src_tok, plan.dst)  # [E*cap_s, d] by global id
 
-    # exchange: rows for experts owned by device j go to device j
-    send = send.reshape(ep, E_local * cap_s, d)
-    recv = jax.lax.all_to_all(send, expert_axis, split_axis=0, concat_axis=0)
-    # recv[src, e_local*C + c] -> regroup by local expert across sources
-    h = (
-        recv.reshape(ep, E_local, cap_s, d)
-        .transpose(1, 0, 2, 3)
-        .reshape(E_local, ep * cap_s, d)
-    )
     run_ffn = ffn_fn if ffn_fn is not None else expert_ffn_dense
-    y = run_ffn(
-        h,
-        params,
-        activation=activation,
-        compute_dtype=compute_dtype,
-        dropout_rate=dropout_rate,
-        dropout_rng=dropout_rng,
-    )
-    y = (
-        y.reshape(E_local, ep, cap_s, d)
-        .transpose(1, 0, 2, 3)
-        .reshape(ep, E_local * cap_s, d)
-    )
-    back = jax.lax.all_to_all(y, expert_axis, split_axis=0, concat_axis=0)
+    C = max(c for c in range(1, min(n_chunks, E_local) + 1)
+            if E_local % c == 0)
+
+    if C == 1:
+        # monolithic exchange (kept verbatim: this is the flagship
+        # single-chip/default program — byte-stable lowering matters for
+        # the bench warm-cache sentinel)
+        send = send.reshape(ep, E_local * cap_s, d)
+        recv = jax.lax.all_to_all(send, expert_axis, split_axis=0,
+                                  concat_axis=0)
+        # recv[src, e_local*C + c] -> regroup by local expert across sources
+        h = (
+            recv.reshape(ep, E_local, cap_s, d)
+            .transpose(1, 0, 2, 3)
+            .reshape(E_local, ep * cap_s, d)
+        )
+        y = run_ffn(
+            h,
+            params,
+            activation=activation,
+            compute_dtype=compute_dtype,
+            dropout_rate=dropout_rate,
+            dropout_rng=dropout_rng,
+        )
+        y = (
+            y.reshape(E_local, ep, cap_s, d)
+            .transpose(1, 0, 2, 3)
+            .reshape(ep, E_local * cap_s, d)
+        )
+        back = jax.lax.all_to_all(y, expert_axis, split_axis=0,
+                                  concat_axis=0)
+        out = _combine_gather(back.reshape(E * cap_s, d), scores, plan.dst,
+                              src_tok, plan.w_slot)
+        return out.astype(x.dtype)
+
+    Eg = E_local // C  # local experts per chunk
+    send = send.reshape(ep, E_local, cap_s, d)
+    backs = []
+    for c in range(C):
+        send_c = send[:, c * Eg:(c + 1) * Eg].reshape(ep, Eg * cap_s, d)
+        recv = jax.lax.all_to_all(send_c, expert_axis,
+                                  split_axis=0, concat_axis=0)
+        # recv[src, e_local*cap + slot] -> regroup by local expert
+        h = (
+            recv.reshape(ep, Eg, cap_s, d)
+            .transpose(1, 0, 2, 3)
+            .reshape(Eg, ep * cap_s, d)
+        )
+        params_c = jax.tree.map(lambda a: a[c * Eg:(c + 1) * Eg], params)
+        rng_c = (None if dropout_rng is None
+                 else jax.random.fold_in(dropout_rng, c))
+        y = run_ffn(
+            h,
+            params_c,
+            activation=activation,
+            compute_dtype=compute_dtype,
+            dropout_rate=dropout_rate,
+            dropout_rng=rng_c,
+        )
+        y = (
+            y.reshape(Eg, ep, cap_s, d)
+            .transpose(1, 0, 2, 3)
+            .reshape(ep, Eg * cap_s, d)
+        )
+        backs.append(
+            jax.lax.all_to_all(y, expert_axis, split_axis=0, concat_axis=0)
+            .reshape(ep, Eg, cap_s, d))
+    back = jnp.concatenate(backs, axis=1)
     out = _combine_gather(back.reshape(E * cap_s, d), scores, plan.dst,
                           src_tok, plan.w_slot)
     return out.astype(x.dtype)
@@ -519,11 +573,15 @@ def moe_ffn(
     dropout_rng: Optional[jax.Array] = None,
     num_experts_global: Optional[int] = None,
     ffn_fn: Optional[Callable] = None,
+    a2a_chunks: int = 1,
 ) -> jnp.ndarray:
     """Top-level MoE FFN. If `mesh` has an expert axis of size > 1, opens a
     shard_map region (tokens sharded over all mesh axes, experts over
     `expert_axis`) and exchanges tokens with all_to_all; otherwise runs the
-    single-shard path (still jit-compatible on any backend)."""
+    single-shard path (still jit-compatible on any backend).
+
+    `a2a_chunks > 1` pipelines the EP exchange (see
+    moe_ffn_expert_parallel); ignored on the single-shard path."""
     orig_shape = x.shape
     d = x.shape[-1]
     xt = x.reshape(-1, d)
@@ -569,6 +627,7 @@ def moe_ffn(
             expert_axis=expert_axis, num_experts_global=E, capacity=cap,
             activation=activation, compute_dtype=compute_dtype,
             dropout_rate=dropout_rate, dropout_rng=rng, ffn_fn=ffn_fn,
+            n_chunks=a2a_chunks,
         )
 
     out = jax.shard_map(

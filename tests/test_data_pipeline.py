@@ -213,6 +213,45 @@ def test_loader_end_to_end(pascal_root):
     )
 
 
+def test_process_loader_matches_thread_loader(pascal_root):
+    """The fork-pool backend (both shm and pickle IPC) must yield bitwise
+    the same batches in the same order as the thread backend."""
+    p = make_p(pascal_root)
+    tr, _ = get_transformations(p)
+
+    class _TDS:
+        def __init__(self, ds, tr):
+            self.ds, self.tr = ds, tr
+
+        def __len__(self):
+            return len(self.ds)
+
+        def __getitem__(self, i):
+            return self.tr(self.ds[i], np.random.RandomState(i))
+
+    ds = get_dataset(p, "train", None)
+    tds = _TDS(ds, tr)
+
+    def run(use_processes, use_shm):
+        loader = EpochLoader(tds, batch_size=2, seed=7, num_workers=2,
+                             use_processes=use_processes, use_shm=use_shm)
+        return list(loader.epoch(3))
+
+    ref = run(False, False)
+    for shm in (True, False):
+        got = run(True, shm)
+        assert len(got) == len(ref)
+        for br, bg in zip(ref, got):
+            assert set(br.keys()) == set(bg.keys())
+            for k in br:
+                if k == "meta":
+                    assert [m["image"] for m in br[k]] == \
+                        [m["image"] for m in bg[k]]
+                else:
+                    np.testing.assert_array_equal(br[k], bg[k])
+                    assert br[k].dtype == bg[k].dtype
+
+
 def test_grouped_loader_batches_within_aspect_group():
     from m3vit_tpu.data.loader import GroupedEpochLoader
 
