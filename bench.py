@@ -279,6 +279,7 @@ def build_and_measure(args, scan_tasks_fallback: bool, budget_s: float):
     model, tasks = build_flagship(
         mesh=mesh, expert_axis=expert_axis, dtype=jnp.bfloat16,
         use_checkpointing=False, capacity_factor=1.25,
+        remat_heads=args.remat_heads,
         # None = backend auto-detect (kernel on TPU, Dense path elsewhere);
         # forcing True off-TPU would hit the slow interpret path (ADVICE r2)
         use_pallas_dense_ffn=False if args.no_dense_pallas else None,
@@ -300,6 +301,8 @@ def build_and_measure(args, scan_tasks_fallback: bool, budget_s: float):
         suffix += "_scan_blocks"
     if args.no_dense_pallas:
         suffix += "_no_dense_pallas"
+    if args.remat_heads:
+        suffix += "_remat_heads"
     if args.no_shared_prefix:
         suffix += "_no_shared_prefix"
     if args.ln_mlp:
@@ -453,6 +456,10 @@ def main():
                          "compile-time lever — see PARITY.md)")
     ap.add_argument("--scan_blocks", action="store_true",
                     help="A/B: lax.scan the dense/MoE block pairs")
+    ap.add_argument("--remat_heads", action="store_true",
+                    help="A/B: rematerialize the PUP decoder heads in "
+                         "backward (their full-res conv activations "
+                         "dominate HBM; candidate for the B=16 remat tax)")
     ap.add_argument("--ln_mlp", action="store_true",
                     help="A/B: fully fuse the dense blocks' LN+MLP+residual "
                          "sublayer into one Pallas kernel (ops/ln_mlp.py)")

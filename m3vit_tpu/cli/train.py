@@ -261,6 +261,13 @@ def parse_args(argv=None):
                          "the reference's sync-and-inspect debugging, "
                          "SURVEY.md §5)")
     ap.add_argument("--log_interval", type=int, default=25)
+    ap.add_argument("--a2a_chunks", type=int, default=None,
+                    help="pipeline the EP dispatch exchange over N groups "
+                         "of local experts (moe/dispatch.py); compiles the "
+                         "train step with xla_tpu_enable_async_all_to_all "
+                         "so the split all_to_alls overlap expert GEMMs "
+                         "on ICI (scripts/dump_ep_schedule.py evidence); "
+                         "exact numerics at dropout 0")
     ap.add_argument("--loader_mode", default="auto",
                     choices=["auto", "processes", "threads"],
                     help="host data-loader backend: fork-pool processes "
@@ -377,6 +384,8 @@ def run(args) -> Dict:
         overrides["use_pallas_ln_mlp"] = True
     if args.no_pallas_ln_mlp:
         overrides["use_pallas_ln_mlp"] = False
+    if args.a2a_chunks is not None:
+        overrides["moe_a2a_chunks"] = int(args.a2a_chunks)
     if args.scan_blocks:
         overrides["scan_blocks"] = True
     if args.stacked_tasks:
@@ -481,8 +490,11 @@ def run(args) -> Dict:
         nworkers = int(p.get("nworkers", 8))
         # 'auto' = fork-pool processes (the reference's multi-process
         # DataLoader equivalent; thread pools cap at ~2.5x from GIL-held
-        # label/collate work — scripts/bench_loader.py)
-        use_procs = args.loader_mode in ("auto", "processes")
+        # label/collate work — scripts/bench_loader.py).  nworkers <= 0
+        # means in-process loading (torch DataLoader semantics): one
+        # thread, no fork pool.
+        use_procs = args.loader_mode in ("auto", "processes") and nworkers > 0
+        nworkers = max(1, nworkers)
         train_loader = EpochLoader(
             _TDS(get_dataset(p, "train", None, overfit=p["overfit"]), tr,
                  args.seed),
@@ -624,10 +636,22 @@ def run(args) -> Dict:
     is_token = "Token" in str(p.get("backbone", "")) \
         or p.get("model") == "token_moe"
     use_share_temp = is_token and share_pred_temperature(p, 0) is not None
+    # pipelined EP exchange: the split a2as only overlap expert GEMMs if
+    # the TPU compiler issues them async (default compiles are fully
+    # synchronous — scripts/dump_ep_schedule.py)
+    # (enabled for ANY ep>1 run: with the flag even the monolithic
+    # exchange compiles to start/done pairs with compute scheduled inside
+    # — 70/80 windows in the 8-chip AOT program; chunks add intra-site
+    # granularity on top)
+    copts = None
+    if mesh is not None and mesh.shape.get("expert", 1) > 1 \
+            and jax.default_backend() in ("tpu", "axon"):
+        copts = {"xla_tpu_enable_async_all_to_all": True}
     train_step = make_train_step(model, tasks, loss_fns, loss_weights,
                                  cv_weight=cv_w,
                                  pass_share_temp=use_share_temp,
-                                 analysis_metrics=True)
+                                 analysis_metrics=True,
+                                 compiler_options=copts)
     # sem-guided knobs run only during warmup epochs with semseg labels fed
     # to the backbone (reference train_utils.py:424-426); a second compiled
     # step carries the extra input + regu losses (use_sem computed above)

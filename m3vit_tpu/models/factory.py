@@ -93,6 +93,10 @@ def build_backbone(p, mesh=None, expert_axis: Optional[str] = "expert"):
             use_pallas_ffn=bool(p.get("use_pallas_ffn", True)),
             use_pallas_dense_ffn=_dense_pallas_default(p),
             use_pallas_ln_mlp=bool(p.get("use_pallas_ln_mlp", False)),
+            # pipelined EP exchange (moe/dispatch.py n_chunks); only
+            # overlaps when the step is compiled with
+            # xla_tpu_enable_async_all_to_all (cli/train.py --a2a_chunks)
+            a2a_chunks=int(p.get("moe_a2a_chunks", 1)),
             expert_weights_int8=bool(p.get("expert_weights_int8", False)),
             scan_blocks=bool(p.get("scan_blocks", False)),
             # research knobs (reference train_fastmoe.py:107-155 CLI flags)

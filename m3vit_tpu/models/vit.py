@@ -75,7 +75,7 @@ class Attention(nn.Module):
         )(x)
 
         from m3vit_tpu.ops.flash_attention import (
-            flash_attention_qkv,
+            flash_attention_qkv_sharded,
             interpret_default,
             supported,
             use_flash_default,
@@ -99,9 +99,12 @@ class Attention(nn.Module):
         if flash and not seq_par and not drop_on \
                 and supported(self.num_heads, head_dim):
             # fused Pallas kernels directly on the [B,N,3C] projection
-            # (interpret mode off-TPU so use_flash=True stays testable)
-            out = flash_attention_qkv(
+            # (interpret mode off-TPU so use_flash=True stays testable);
+            # on a >1-device mesh the kernel runs inside shard_map (GSPMD
+            # cannot partition a top-level pallas_call)
+            out = flash_attention_qkv_sharded(
                 qkv, self.num_heads, scale, interpret_default(),
+                mesh=self.mesh, seq_axis=self.seq_axis,
             )
         else:
             # split as contiguous last-dim slices (identical layout to the

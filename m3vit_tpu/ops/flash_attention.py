@@ -311,6 +311,39 @@ def _vjp_bwd(num_heads, scale, interpret, valid_len, res, g):
 flash_attention_qkv.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+def flash_attention_qkv_sharded(qkv, num_heads: int, scale: float,
+                                interpret: bool = False, *,
+                                mesh=None, seq_axis: str = "seq"):
+    """Mesh-aware flash attention: GSPMD cannot partition a top-level
+    ``pallas_call`` ("Mosaic kernels cannot be automatically partitioned"
+    — found by the v5e-8 AOT topology compile, scripts/dump_ep_schedule.py),
+    so on a >1-device mesh the kernel runs inside a ``shard_map`` sharding
+    the BATCH dim over every non-seq axis (attention is batch-parallel,
+    never token-parallel; a sharded seq axis takes the Ulysses path in
+    models/vit.py and never reaches this call).  Single-device meshes and
+    mesh=None trace the bare kernel, byte-identical to the single-chip
+    flagship program."""
+    if mesh is None or mesh.size <= 1:
+        return flash_attention_qkv(qkv, num_heads, scale, interpret)
+
+    from jax.sharding import PartitionSpec as P
+
+    B = qkv.shape[0]
+    batch_axes = tuple(
+        a for a in mesh.axis_names if a != seq_axis and mesh.shape[a] > 1)
+    nb = 1
+    for a in batch_axes:
+        nb *= mesh.shape[a]
+    spec = (P(batch_axes, None, None) if batch_axes and B % nb == 0
+            else P(None, None, None))
+
+    def body(x):
+        return flash_attention_qkv(x, num_heads, scale, interpret)
+
+    return jax.shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                         check_vma=False)(qkv)
+
+
 def flash_attention(q, k, v, scale: float, interpret: bool = False,
                     valid_len: Optional[int] = None):
     """Generic [B, N, H, d] entry point (tests / non-fused callers)."""

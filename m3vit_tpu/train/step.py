@@ -30,6 +30,7 @@ def make_train_step(
     subimage_weight: float = 0.01,
     pass_share_temp: bool = False,
     analysis_metrics: bool = False,
+    compiler_options: Optional[Dict[str, object]] = None,
 ):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -119,6 +120,14 @@ def make_train_step(
                 stats["topk_group_count_sum"] / n_tok
         return state, metrics
 
+    # compiler_options: e.g. {"xla_tpu_enable_async_all_to_all": True} so
+    # the EP dispatch a2a compiles to start/done pairs XLA can overlap with
+    # expert GEMMs (scripts/dump_ep_schedule.py evidence; default TPU
+    # compiles are fully synchronous).  None keeps the default-jit path
+    # byte-identical for the bench compile cache.
+    if compiler_options:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else (),
+                       compiler_options=compiler_options)
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 

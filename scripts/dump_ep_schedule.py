@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--chunks", type=int, default=1)
     ap.add_argument("--img", type=int, default=128)
     ap.add_argument("--out", default="/tmp/ep_sched.txt")
+    ap.add_argument("--xla_opt", action="append", default=[],
+                    help="compiler option k=v (e.g. "
+                         "xla_tpu_enable_async_all_to_all=true); may repeat")
     args = ap.parse_args()
 
     import jax
@@ -117,7 +120,12 @@ def main():
     lowered = step.lower(state_sds, batch_sds,
                          jax.ShapeDtypeStruct(jax.random.key(0).shape,
                                               jax.random.key(0).dtype))
-    compiled = lowered.compile()
+    copts = {}
+    for kv in args.xla_opt:
+        k, _, v = kv.partition("=")
+        copts[k] = {"true": True, "false": False}.get(v.lower(), v)
+    compiled = lowered.compile(compiler_options=copts) if copts \
+        else lowered.compile()
     txt = compiled.as_text()
     with open(args.out, "w") as f:
         f.write(txt)

@@ -145,6 +145,41 @@ def test_attention_module_flash_equals_naive():
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-2)
 
 
+def test_attention_module_flash_sharded_on_mesh(mesh8):
+    """On a >1-device mesh the flash kernel must run inside shard_map
+    (GSPMD cannot partition a top-level pallas_call — found by the v5e-8
+    AOT topology compile) and match the meshless flash result, fwd and
+    grads."""
+    from m3vit_tpu.models.vit import Attention
+
+    B, N, C, H = 8, 70, 128, 2
+    # f32: grads compare the psum-sharded vs monolithic accumulation
+    # order, which in bf16 diverges to a few % on single elements
+    x = jax.random.normal(jax.random.key(1), (B, N, C), jnp.float32)
+    flat = Attention(num_heads=H, qkv_bias=True, dtype=jnp.float32,
+                     use_flash=True)
+    sharded = Attention(num_heads=H, qkv_bias=True, dtype=jnp.float32,
+                        use_flash=True, mesh=mesh8)
+    params = flat.init(jax.random.key(2), x)
+
+    a = flat.apply(params, x)
+    b = jax.jit(lambda p, xx: sharded.apply(p, xx))(params, x)
+    np.testing.assert_allclose(np.asarray(b, np.float32),
+                               np.asarray(a, np.float32), atol=1e-4)
+
+    def loss(mod):
+        def f(p, xx):
+            return jnp.sum(mod.apply(p, xx).astype(jnp.float32) ** 2)
+        return f
+
+    ga = jax.grad(loss(flat))(params, x)
+    gb = jax.jit(jax.grad(loss(sharded)))(params, x)
+    for la, lb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(lb, np.float32),
+                                   np.asarray(la, np.float32),
+                                   rtol=1e-4, atol=1e-3)
+
+
 def test_flash_fallback_warns(caplog):
     """VERDICT r2 weak #4: dropping from flash to naive O(N^2) attention
     (attn_drop>0 in train, or unsupported head shape) must log a warning —
