@@ -384,6 +384,25 @@ def build_and_measure(args, scan_tasks_fallback: bool, budget_s: float):
     _PROGRESS["in_compile"] = False
     log("compiled")
 
+    if getattr(args, "compile_stats", False):
+        # HBM accounting mode (B=16 audit): print XLA's memory analysis of
+        # the compiled program and exit without touching the device
+        try:
+            ma = compiled.memory_analysis()
+            rec = {"metric": "compile_stats", "bench_metric": metric,
+                   "hlo_hash": hlo_hash}
+            for k in ("temp_size_in_bytes", "argument_size_in_bytes",
+                      "output_size_in_bytes", "alias_size_in_bytes",
+                      "generated_code_size_in_bytes"):
+                v = getattr(ma, k, None)
+                if v is not None:
+                    rec[k] = int(v)
+            print(json.dumps(rec), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"metric": "compile_stats",
+                              "error": str(e)[:200]}), flush=True)
+        sys.exit(0)
+
     # XLA cost analysis counts a lax.scan body ONCE, not x trip-count, so
     # flops/mfu would be nonsense for the scan variants — skip them there.
     step_flops = None
@@ -470,6 +489,9 @@ def main():
     ap.add_argument("--dump_hlo", default=None, metavar="PATH",
                     help="write the lowered StableHLO text to PATH (use "
                          "with --check_only to diff program changes)")
+    ap.add_argument("--compile_stats", action="store_true",
+                    help="compile (cache-warm) and print XLA memory "
+                         "analysis, then exit — no device steps")
     ap.add_argument("--check_only", action="store_true",
                     help="warm-cache guard: trace+hash the default program "
                          "and exit 0 if sentinel-warm, 3 if a re-warm is "
