@@ -195,11 +195,36 @@ def split_train_val(
     return sorted(train_idx), sorted(val_idx)
 
 
+# --- fork-pool worker state for iterate_epoch(num_workers>0) -------------
+_PT_DS = None
+
+
+def _pt_init(ds):
+    global _PT_DS
+    _PT_DS = ds
+
+
+def _pt_load_batch(task):
+    seed, epoch, idx = task
+    ims, labs = zip(*(
+        _PT_DS.load(int(i),
+                    np.random.RandomState(
+                        (seed * 1_000_003 + epoch * 997 + int(i)) % (2**31)))
+        for i in idx))
+    return np.stack(ims), np.asarray(labs)
+
+
 def iterate_epoch(
     ds: ImageFolder, batch_size: int, epoch: int, seed: int = 0,
     repeated_aug: bool = False, num_repeats: int = 3,
-    subset: Optional[List[int]] = None,
+    subset: Optional[List[int]] = None, num_workers: int = 0,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Epoch iterator.  ``num_workers > 0`` loads batches in a fork pool
+    (the reference DeiT trainer's multi-process DataLoader equivalent,
+    same rationale as data/loader.py EpochLoader).  Per-sample
+    augmentation rng is derived from (seed, epoch, sample index) on EVERY
+    path — serial included — so worker count never changes the data
+    (deterministic, like the MTL loader's _TDS wrapper)."""
     rng = np.random.RandomState(seed + epoch)
     n = len(subset) if subset is not None else len(ds)
     if repeated_aug:
@@ -209,10 +234,42 @@ def iterate_epoch(
     if subset is not None:
         order = np.asarray(subset)[order]
     nb = len(order) // batch_size
+    if num_workers > 0:
+        import multiprocessing
+
+        if "fork" in multiprocessing.get_all_start_methods():
+            ctx = multiprocessing.get_context("fork")
+            pool = ctx.Pool(num_workers, initializer=_pt_init,
+                            initargs=(ds,))
+            try:
+                import collections
+                import itertools
+
+                tasks = ((seed, epoch,
+                          [int(i) for i in
+                           order[b * batch_size:(b + 1) * batch_size]])
+                         for b in range(nb))
+                inflight = collections.deque()
+                it = iter(tasks)
+                for t in itertools.islice(it, num_workers + 2):
+                    inflight.append(pool.apply_async(_pt_load_batch, (t,)))
+                while inflight:
+                    out = inflight.popleft().get()
+                    nxt = next(it, None)
+                    if nxt is not None:
+                        inflight.append(
+                            pool.apply_async(_pt_load_batch, (nxt,)))
+                    yield out
+            finally:
+                pool.terminate()
+                pool.join()
+            return
+    # serial path: same per-sample rng derivation as the pool workers, so
+    # the data is identical for EVERY num_workers value (0 included)
+    _pt_init(ds)
     for b in range(nb):
-        idx = order[b * batch_size:(b + 1) * batch_size]
-        ims, labs = zip(*(ds.load(int(i), rng) for i in idx))
-        yield np.stack(ims), np.asarray(labs)
+        idx = [int(i) for i in order[b * batch_size:(b + 1) * batch_size]]
+        yield _pt_load_batch((seed, epoch, idx))
 
 
 def iterate_eval(

@@ -53,6 +53,10 @@ def parse_args(argv=None):
                     help="dense DeiT baseline, no MoE (the reference's "
                          "pretrain/Dense_DeiT.py)")
     ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--num_workers", type=int, default=8,
+                    help="fork-pool loader workers (0 = in-process serial; "
+                         "worker count never changes the data — per-sample "
+                         "rng is derived from seed/epoch/index)")
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--warmup_epochs", type=int, default=5)
     ap.add_argument("--lr", type=float, default=1e-3)
@@ -152,7 +156,7 @@ def imagefolder_loader(args):
         yield from iterate_epoch(
             ds, args.batch_size, epoch, args.seed,
             repeated_aug=args.repeated_aug, num_repeats=args.num_repeats,
-            subset=train_subset,
+            subset=train_subset, num_workers=args.num_workers,
         )
 
     return epochs, steps, val_batches

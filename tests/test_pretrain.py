@@ -176,6 +176,23 @@ def test_imagefolder_numeric_labels_and_index_cache(tmp_path):
     assert len(ds3) == 20 and "3_class3" in ds3.class_to_idx
 
 
+def test_iterate_epoch_worker_count_invariance(tmp_path):
+    """Fork-pool and serial epoch iteration yield bitwise-identical batches
+    (per-sample rng derived from seed/epoch/index on every path)."""
+    import numpy as np
+
+    from m3vit_tpu.pretrain.data import ImageFolder, iterate_epoch
+
+    root = _fabricated_imagefolder(str(tmp_path), n_classes=2, per_class=6)
+    ds = ImageFolder(root, img_size=32)
+    serial = list(iterate_epoch(ds, 4, epoch=2, seed=5, num_workers=0))
+    pooled = list(iterate_epoch(ds, 4, epoch=2, seed=5, num_workers=2))
+    assert len(serial) == len(pooled) == 3
+    for (ia, la), (ib, lb) in zip(serial, pooled):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(la, lb)
+
+
 def test_split_train_val_deterministic_and_disjoint(tmp_path):
     from m3vit_tpu.pretrain.data import ImageFolder, split_train_val
 
