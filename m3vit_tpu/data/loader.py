@@ -91,6 +91,31 @@ def _mp_fetch_collate(indices):
     return collate([_MP_DATASET[int(i)] for i in indices])
 
 
+def _mp_worker_loop(dataset, use_shm, inq, outq):
+    """Body of one bare loader worker process.
+
+    Deliberately NOT multiprocessing.Pool: Pool's handler threads hang in
+    terminate() when a worker dies or is killed while holding a queue lock
+    (observed as a full-suite pytest hang), so — like torch's DataLoader —
+    the loader uses plain daemon Processes + Queues, which a parent can
+    SIGKILL at any moment with nothing left to join."""
+    _mp_init(dataset)
+    # resolve at call time so a test-patched module function is honored
+    fetch = _mp_fetch_collate_shm if use_shm else _mp_fetch_collate
+    while True:
+        task = inq.get()
+        if task is None:
+            return
+        tid, idx = task
+        try:
+            outq.put((tid, fetch(idx), None))
+        except Exception as e:  # noqa: BLE001 - surfaced to the parent
+            try:
+                outq.put((tid, None, f"{type(e).__name__}: {e}"))
+            except Exception:
+                return
+
+
 def _mp_fetch_collate_shm(indices):
     """Collate in the worker, hand the arrays back through POSIX shared
     memory instead of the pool's pickle pipe.  An 84 MB flagship batch costs
@@ -149,11 +174,14 @@ class EpochLoader:
         cv2/PIL release the GIL for the big ops but the numpy label
         encode/collate path does not, capping thread scaling (measured
         ~40% GIL-held on the PASCAL 512^2 train chain; scripts/bench_loader.py).
-      * ``use_processes=True`` — a fork-based ``multiprocessing.Pool``;
-        each worker builds and collates one WHOLE batch (batch-level tasks
-        amortize IPC) with a bounded in-flight window of
-        ``num_workers + prefetch`` batches.  This is the TPU equivalent of
-        the reference's multi-process ``DataLoader(num_workers=...)``
+      * ``use_processes=True`` — bare fork-spawned daemon worker
+        processes + queues (NOT multiprocessing.Pool — see
+        _mp_worker_loop); each worker builds and collates one WHOLE batch
+        (batch-level tasks amortize IPC) with a bounded in-flight window
+        of ``num_workers + prefetch`` batches, and every wait is bounded
+        with an in-process fallback (never hangs).  This is the TPU
+        equivalent of the reference's multi-process
+        ``DataLoader(num_workers=...)``
         (reference: utils/common_config.py:673,715).  Requires a
         fork-capable platform; falls back to threads otherwise.
 
@@ -188,6 +216,64 @@ class EpochLoader:
                 use_processes = False
         self.use_processes = use_processes
         self.use_shm = use_shm
+        # persistent bare-process workers, created at CONSTRUCTION time:
+        # the earlier the fork, the fewer parent threads/locks a worker
+        # can inherit in a wedged state (the CLI builds loaders before any
+        # jit compiles), and epochs reuse the warm workers (torch
+        # persistent_workers).  See _mp_worker_loop for why this is NOT a
+        # multiprocessing.Pool.
+        self._procs = []
+        self._inq = None
+        self._outq = None
+        if self.use_processes:
+            ctx = multiprocessing.get_context("fork")
+            self._inq = ctx.Queue()
+            self._outq = ctx.Queue()
+            # NOTE: fork passes the dataset by memory (Process args are
+            # not pickled under fork), so closure-defined dataset wrappers
+            # (cli/train.py _TDS) work.  Workers never touch jax.
+            self._procs = [
+                ctx.Process(target=_mp_worker_loop,
+                            args=(self.dataset, use_shm, self._inq,
+                                  self._outq),
+                            daemon=True)
+                for _ in range(self.num_workers)
+            ]
+            for p in self._procs:
+                p.start()
+
+    def _kill_pool(self):
+        """SIGKILL teardown — bare processes + cancel_join_thread'd queues
+        leave nothing that can hang."""
+        procs, self._procs = self._procs, []
+        inq, self._inq = self._inq, None
+        outq, self._outq = self._outq, None
+        for p in procs:
+            try:
+                p.kill()
+            except Exception:
+                pass
+        for p in procs:
+            try:
+                p.join(timeout=1.0)
+            except Exception:
+                pass
+        for q in (inq, outq):
+            if q is not None:
+                try:
+                    q.cancel_join_thread()
+                    q.close()
+                except Exception:
+                    pass
+
+    def close(self):
+        self._kill_pool()
+
+    def __del__(self):  # best-effort; workers are daemonic anyway
+        try:
+            self._kill_pool()
+        except Exception:
+            pass
 
     def __len__(self):
         n = len(self.dataset)
@@ -202,10 +288,25 @@ class EpochLoader:
         return order
 
     def _epoch_processes(self, epoch: int) -> Iterator[Dict]:
-        """Fork-pool epoch: batch-granular tasks, bounded in-flight window,
-        deterministic batch order (results consumed in submission order)."""
-        import multiprocessing
+        """Worker-process epoch: batch-granular tasks, bounded in-flight
+        window, deterministic batch order (results re-ordered by task id).
 
+        Deadlock guard: forking a thread-heavy parent (a long jax session)
+        can wedge a child on a fork-inherited lock, and a wedged worker's
+        task never completes (observed: the full pytest suite hung inside
+        multiprocessing.Pool).  Every result wait is bounded
+        ($M3VIT_LOADER_TIMEOUT_S, default 300 s; 0 disables), worker
+        liveness is polled so a DEAD worker fails fast, and on
+        expiry/death the workers are SIGKILLed (nothing joinable remains —
+        see _mp_worker_loop) and the epoch FALLS BACK to in-process
+        loading with a loud warning — identical batches, degraded
+        throughput, never a hang."""
+        import os
+        import queue as queue_mod
+        import time
+        import warnings
+
+        timeout = float(os.environ.get("M3VIT_LOADER_TIMEOUT_S", "300"))
         n = len(self.dataset)
         order = self._epoch_order(epoch)
         nb = len(self)
@@ -214,33 +315,78 @@ class EpochLoader:
                                    min((b + 1) * self.batch_size, n)]]
             for b in range(nb)
         ]
-        ctx = multiprocessing.get_context("fork")
-        # NOTE: fork inherits the dataset by memory — initargs are not
-        # pickled under the fork start method, so closure-defined dataset
-        # wrappers (cli/train.py _TDS) work.  Workers never touch jax.
-        pool = ctx.Pool(self.num_workers, initializer=_mp_init,
-                        initargs=(self.dataset,))
-        fetch = _mp_fetch_collate_shm if self.use_shm else _mp_fetch_collate
-        try:
-            inflight: "collections.deque" = collections.deque()
-            it = iter(idx_lists)
-            for idx in list(itertools.islice(
-                    it, self.num_workers + self.prefetch)):
-                inflight.append(pool.apply_async(fetch, (idx,)))
-            while inflight:
-                batch = inflight.popleft().get()
-                if self.use_shm:
-                    batch = _shm_to_batch(batch)
-                nxt = next(it, None)
-                if nxt is not None:
-                    inflight.append(pool.apply_async(fetch, (nxt,)))
-                yield batch
-        finally:
-            pool.terminate()
-            pool.join()
+
+        done: Dict[int, object] = {}
+        submitted = 0
+        window = self.num_workers + self.prefetch
+        # epoch serial tag: an abandoned epoch's stale in-flight results
+        # must not be mistaken for this epoch's batches
+        self._epoch_serial = getattr(self, "_epoch_serial", 0) + 1
+        ser = self._epoch_serial
+
+        def release(val):
+            # free a completed-but-unconsumed shm batch
+            if self.use_shm and isinstance(val, tuple) and val \
+                    and val[0] == "__shm__":
+                try:
+                    from multiprocessing import shared_memory
+
+                    s = shared_memory.SharedMemory(name=val[1])
+                    s.close()
+                    s.unlink()
+                except Exception:
+                    pass
+
+        def fallback(from_tid):
+            warnings.warn(
+                f"loader workers unresponsive for {timeout:.0f}s "
+                "(fork-inherited lock wedge or worker death) — killing "
+                "them and loading in-process from here on (identical "
+                "batches, slower); restart the run to retry a fresh pool",
+                stacklevel=3)
+            for v in done.values():
+                release(v)
+            self._kill_pool()
+            self.use_processes = False  # sticky: later epochs use threads
+            for tid in range(from_tid, nb):
+                yield collate([self.dataset[int(i)]
+                               for i in idx_lists[tid]])
+
+        for _ in range(min(window, nb)):
+            self._inq.put(((ser, submitted), idx_lists[submitted]))
+            submitted += 1
+        for want in range(nb):
+            deadline = time.monotonic() + (timeout if timeout > 0 else 1e12)
+            while want not in done:
+                # a dead worker never reports: bound the wait and also
+                # poll liveness so worker death fails fast, not at timeout
+                try:
+                    tid, val, err = self._outq.get(
+                        timeout=min(5.0, max(0.1,
+                                             deadline - time.monotonic())))
+                except queue_mod.Empty:
+                    alive = any(p.is_alive() for p in self._procs)
+                    if time.monotonic() >= deadline or not alive:
+                        yield from fallback(want)
+                        return
+                    continue
+                if err is not None:
+                    self._kill_pool()
+                    raise RuntimeError(f"loader worker failed: {err}")
+                if tid[0] != ser:  # stale result from an abandoned epoch
+                    release(val)
+                    continue
+                done[tid[1]] = val
+            batch = done.pop(want)
+            if self.use_shm:
+                batch = _shm_to_batch(batch)
+            if submitted < nb:
+                self._inq.put(((ser, submitted), idx_lists[submitted]))
+                submitted += 1
+            yield batch
 
     def epoch(self, epoch: int) -> Iterator[Dict]:
-        if self.use_processes:
+        if self.use_processes and self._procs:
             yield from self._epoch_processes(epoch)
             return
         n = len(self.dataset)
@@ -351,6 +497,8 @@ class GroupedEpochLoader(EpochLoader):
 
     def __init__(self, dataset, batch_size: int, group_flags: np.ndarray,
                  **kw):
+        # this loader's epoch() is serial — never spin up a worker pool
+        kw["use_processes"] = False
         super().__init__(dataset, batch_size, **kw)
         self.group_flags = np.asarray(group_flags)
 

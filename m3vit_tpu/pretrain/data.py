@@ -214,6 +214,105 @@ def _pt_load_batch(task):
     return np.stack(ims), np.asarray(labs)
 
 
+def _pt_worker_loop(ds, inq, outq):
+    """Bare daemon worker (NOT multiprocessing.Pool — Pool's handler
+    threads hang in terminate() when a worker dies/is killed holding a
+    queue lock; same design as data/loader.py _mp_worker_loop)."""
+    _pt_init(ds)
+    while True:
+        task = inq.get()
+        if task is None:
+            return
+        tid, payload = task
+        try:
+            outq.put((tid, _pt_load_batch(payload), None))
+        except Exception as e:  # noqa: BLE001 - surfaced to the parent
+            try:
+                outq.put((tid, None, f"{type(e).__name__}: {e}"))
+            except Exception:
+                return
+
+
+def _pt_pooled_batches(ds, tasks, num_workers):
+    """Run the batch tasks through bare fork workers with bounded waits
+    and an in-process fallback (identical batches — per-sample rng)."""
+    import multiprocessing
+    import queue as queue_mod
+    import time
+    import warnings
+
+    timeout = float(os.environ.get("M3VIT_LOADER_TIMEOUT_S", "300"))
+    ctx = multiprocessing.get_context("fork")
+    inq, outq = ctx.Queue(), ctx.Queue()
+    procs = [ctx.Process(target=_pt_worker_loop, args=(ds, inq, outq),
+                         daemon=True) for _ in range(num_workers)]
+    for p in procs:
+        p.start()
+
+    def kill():
+        for p in procs:
+            try:
+                p.kill()
+            except Exception:
+                pass
+        for p in procs:
+            try:
+                p.join(timeout=1.0)
+            except Exception:
+                pass
+        for q in (inq, outq):
+            try:
+                q.cancel_join_thread()
+                q.close()
+            except Exception:
+                pass
+
+    nb = len(tasks)
+    done = {}
+    submitted = 0
+    killed = False
+    try:
+        for _ in range(min(num_workers + 2, nb)):
+            inq.put((submitted, tasks[submitted]))
+            submitted += 1
+        for want in range(nb):
+            deadline = time.monotonic() + (timeout if timeout > 0 else 1e12)
+            while want not in done:
+                try:
+                    tid, val, err = outq.get(
+                        timeout=min(5.0, max(0.1,
+                                             deadline - time.monotonic())))
+                except queue_mod.Empty:
+                    alive = any(p.is_alive() for p in procs)
+                    if time.monotonic() >= deadline or not alive:
+                        warnings.warn(
+                            f"pretrain loader workers unresponsive for "
+                            f"{timeout:.0f}s — killing them and loading "
+                            "in-process (identical batches, slower)",
+                            stacklevel=2)
+                        kill()
+                        killed = True
+                        _pt_init(ds)
+                        for tid2 in range(want, nb):
+                            yield _pt_load_batch(tasks[tid2])
+                        return
+                    continue
+                if err is not None:
+                    kill()
+                    killed = True
+                    raise RuntimeError(f"pretrain loader worker failed: "
+                                       f"{err}")
+                done[tid] = val
+            batch = done.pop(want)
+            if submitted < nb:
+                inq.put((submitted, tasks[submitted]))
+                submitted += 1
+            yield batch
+    finally:
+        if not killed:
+            kill()
+
+
 def iterate_epoch(
     ds: ImageFolder, batch_size: int, epoch: int, seed: int = 0,
     repeated_aug: bool = False, num_repeats: int = 3,
@@ -238,31 +337,11 @@ def iterate_epoch(
         import multiprocessing
 
         if "fork" in multiprocessing.get_all_start_methods():
-            ctx = multiprocessing.get_context("fork")
-            pool = ctx.Pool(num_workers, initializer=_pt_init,
-                            initargs=(ds,))
-            try:
-                import collections
-                import itertools
-
-                tasks = ((seed, epoch,
-                          [int(i) for i in
-                           order[b * batch_size:(b + 1) * batch_size]])
-                         for b in range(nb))
-                inflight = collections.deque()
-                it = iter(tasks)
-                for t in itertools.islice(it, num_workers + 2):
-                    inflight.append(pool.apply_async(_pt_load_batch, (t,)))
-                while inflight:
-                    out = inflight.popleft().get()
-                    nxt = next(it, None)
-                    if nxt is not None:
-                        inflight.append(
-                            pool.apply_async(_pt_load_batch, (nxt,)))
-                    yield out
-            finally:
-                pool.terminate()
-                pool.join()
+            tasks = [(seed, epoch,
+                      [int(i) for i in
+                       order[b * batch_size:(b + 1) * batch_size]])
+                     for b in range(nb)]
+            yield from _pt_pooled_batches(ds, tasks, num_workers)
             return
     # serial path: same per-sample rng derivation as the pool workers, so
     # the data is identical for EVERY num_workers value (0 included)

@@ -252,6 +252,51 @@ def test_process_loader_matches_thread_loader(pascal_root):
                     assert br[k].dtype == bg[k].dtype
 
 
+def test_process_loader_wedge_falls_back(pascal_root, monkeypatch):
+    """A wedged pool worker (simulated: the fork-inherited fetch fn sleeps
+    past $M3VIT_LOADER_TIMEOUT_S) must NOT hang the epoch: the pool is
+    killed and the remaining batches are served in-process, identically."""
+    import time as _time
+
+    from m3vit_tpu.data import loader as loader_mod
+
+    p = make_p(pascal_root)
+    tr, _ = get_transformations(p)
+
+    class _TDS:
+        def __init__(self, ds, tr):
+            self.ds, self.tr = ds, tr
+
+        def __len__(self):
+            return len(self.ds)
+
+        def __getitem__(self, i):
+            return self.tr(self.ds[i], np.random.RandomState(i))
+
+    ds = get_dataset(p, "train", None)
+    tds = _TDS(ds, tr)
+    ref = list(EpochLoader(tds, batch_size=2, seed=7, num_workers=2,
+                           use_processes=False).epoch(1))
+
+    monkeypatch.setenv("M3VIT_LOADER_TIMEOUT_S", "2")
+
+    def wedged(indices):
+        _time.sleep(600)
+
+    monkeypatch.setattr(loader_mod, "_mp_fetch_collate", wedged)
+    # pool forks AFTER the patch, so workers inherit the wedged fn
+    loader = EpochLoader(tds, batch_size=2, seed=7, num_workers=2,
+                         use_processes=True, use_shm=False)
+    with pytest.warns(UserWarning, match="unresponsive"):
+        got = list(loader.epoch(1))
+    assert loader.use_processes is False  # sticky fallback
+    assert len(got) == len(ref)
+    for br, bg in zip(ref, got):
+        for k in br:
+            if k != "meta":
+                np.testing.assert_array_equal(br[k], bg[k])
+
+
 def test_grouped_loader_batches_within_aspect_group():
     from m3vit_tpu.data.loader import GroupedEpochLoader
 
